@@ -1,0 +1,186 @@
+"""Configuration system.
+
+The reference splits its knobs between one TOML file
+(reference: src/config/app_config.rs:8-51, app_config.toml) and
+compile-time statics scattered through the DSP modules
+(reference: src/tracking/do_tracking.rs:16-29,
+src/acquisition/do_acquisition.rs:20-23). Here *every* operating knob a
+GNSS engineer tunes is a field on a frozen dataclass: frozen so configs
+are hashable and usable as jit static arguments, with TOML round-trip for
+files. Derived IF follows the reference rule IF = center_freq - carrier
+(reference app_config.rs:48).
+"""
+from __future__ import annotations
+
+import dataclasses
+import tomllib
+from typing import Optional
+
+from . import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class SdrConfig:
+    """Front-end device settings (reference: src/sdr_store/sdr_wrapper.rs:38-49)."""
+
+    driver: str = "file"              # file | synthetic | rtlsdr | mock
+    center_freq_hz: float = C.GPS_L1_FREQ_HZ
+    sample_rate_hz: float = 2_048_000.0
+    bandwidth_hz: float = 2_048_000.0
+    gain_db: float = 40.0
+    enable_agc: bool = False
+    path: str = ""                    # sample file for the file driver
+    file_format: str = "int8_real"    # int8_real | int8_iq | f32_iq
+
+
+@dataclasses.dataclass(frozen=True)
+class RfConfig:
+    """Digital front-end (reference: src/rf/frontend.rs:32-67)."""
+
+    freq_if_hz: Optional[float] = None   # None -> derived center - carrier
+    output_sample_rate_hz: float = 2_048_000.0
+    dc_alpha: float = 0.001              # one-pole DC tracker coefficient
+    enable_dc_removal: bool = True
+    enable_mixing: bool = True
+    # polyphase decimating FIR (the resampler the reference left TODO,
+    # reference frontend.rs:64-66)
+    decimation: int = 1
+    fir_taps_per_phase: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class AcqConfig:
+    """PCPS acquisition (reference: src/acquisition/do_acquisition.rs:20-23,237)."""
+
+    signal: str = "gps_l1ca"
+    doppler_span_hz: float = 14_000.0    # searched band (centered on 0)
+    doppler_step_hz: float = 500.0
+    n_prn: int = 32
+    non_coherent_ms: int = 10            # LONG_SAMPLES_LENGTH
+    detection_threshold: float = 7.0     # peak/avg test
+    # adaptive search pacing: (interval_ms, prns_per_round) per mode
+    # (reference do_acquisition.rs:58-73)
+    cold_pacing: tuple[int, int] = (500, 32)
+    warm_pacing: tuple[int, int] = (1000, 8)
+    steady_pacing: tuple[int, int] = (2000, 5)
+    warm_threshold: int = 1              # tracked count >= -> warm
+    steady_threshold: int = 5            # tracked count >= -> steady
+    # optional fine-Doppler refinement stage (legacy reference parity,
+    # reference acquisition_bk.rs:215-302)
+    fine_doppler: bool = True
+    fine_doppler_zero_pad: int = 8
+
+    @property
+    def doppler_bins(self) -> int:
+        return int(self.doppler_span_hz / self.doppler_step_hz) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    """DLL/PLL tracking loops (reference: src/tracking/do_tracking.rs:16-29)."""
+
+    signal: str = "gps_l1ca"
+    n_channels: int = 15
+    lock_threshold: float = 15.0
+    max_lost_epochs: int = 20
+    pll_bandwidth_hz: float = 25.0
+    pll_damping: float = 0.7
+    pll_gain: float = 0.25
+    dll_bandwidth_hz: float = 2.0
+    dll_damping: float = 0.7
+    dll_gain: float = 1.0
+    integration_s: float = 0.001         # PLL_SUM_CARR / DLL_SUM_CODE
+    early_late_chips: float = 0.5
+    # static epoch window margin in samples beyond nominal samples/code
+    window_margin: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class PvtConfig:
+    """(reference: src/config/app_config.rs:24-27 plus legacy L6 surface)."""
+
+    enable: bool = True
+    min_satellites: int = 4
+    max_iterations: int = 10
+    elevation_mask_deg: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputConfig:
+    file_type: str = "json"
+    telemetry: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout (no reference counterpart; TPU-native)."""
+
+    channel_axis: int = 1     # devices sharding tracking channels / PRNs
+    time_axis: int = 1        # devices sharding sample-time blocks
+    mesh_axis_names: tuple[str, str] = ("time", "channel")
+
+
+@dataclasses.dataclass(frozen=True)
+class ReceiverConfig:
+    sdr: SdrConfig = SdrConfig()
+    rf: RfConfig = RfConfig()
+    acq: AcqConfig = AcqConfig()
+    track: TrackConfig = TrackConfig()
+    pvt: PvtConfig = PvtConfig()
+    output: OutputConfig = OutputConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    block_ms: int = 100                 # samples streamed per device step
+
+    @property
+    def fs_hz(self) -> float:
+        return self.rf.output_sample_rate_hz
+
+    @property
+    def f_if_hz(self) -> float:
+        if self.rf.freq_if_hz is not None:
+            return self.rf.freq_if_hz
+        from .models.constellation import get_signal
+
+        return self.sdr.center_freq_hz - get_signal(self.acq.signal).carrier_freq_hz
+
+
+def _build(cls, data: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in fields:
+            raise ValueError(f"unknown {cls.__name__} key: {key!r}")
+        ftype = fields[key].type
+        if isinstance(value, dict):
+            value = _build(_SECTION_TYPES[key], value)
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+_SECTION_TYPES = {
+    "sdr": SdrConfig,
+    "rf": RfConfig,
+    "acq": AcqConfig,
+    "track": TrackConfig,
+    "pvt": PvtConfig,
+    "output": OutputConfig,
+    "parallel": ParallelConfig,
+}
+
+
+def from_toml(path: str) -> ReceiverConfig:
+    """Load a ReceiverConfig from a TOML file (reference app_config.rs:44-51).
+
+    Unknown keys are a hard error — the reference's serde setup silently
+    mismatched key names (SURVEY.md section 5 notes center_freq_hz vs
+    center_frequency_hz); strictness here prevents that failure class.
+    """
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    return _build(ReceiverConfig, data)
+
+
+def to_toml_dict(cfg: ReceiverConfig) -> dict:
+    return dataclasses.asdict(cfg)
