@@ -1,0 +1,174 @@
+"""Batched PCPS (parallel code phase search) acquisition.
+
+TPU-native re-design of the reference's acquisition engine
+(reference: src/acquisition/do_acquisition.rs:158-238). The reference runs
+32 rayon workers, each looping serially over 29 Doppler bins and 10
+non-coherent integrations, calling scalar-SIMD FFTs. Here the whole
+PRN x Doppler x integration cube is one jitted XLA graph:
+
+    power[p, d, n] = sum_c | ifft( fft(x_c * e^{-j2pi f_d i/fs})
+                                   * conj(CODE_FFT_p) ) |^2
+
+with a ``lax.scan`` over the non-coherent integration axis to bound peak
+memory at [P, D, N] while the FFT batch stays large (P*D transforms per
+step) to saturate the chip.
+
+Detection matches the reference detector: peak power / average power of
+the best Doppler bin (peak excluded) > threshold
+(reference do_acquisition.rs:229-238).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.constellation import SignalSpec
+from . import nco
+
+
+class AcqResults(NamedTuple):
+    """Structure-of-arrays acquisition verdict over the PRN batch.
+
+    Field semantics follow the reference's ``AcquisitionResult``
+    (src/acquisition/do_acquisition.rs:94-102); ``carrier_freq_hz``
+    includes the IF, as in the reference (its DopplerShiftTable stores
+    f_if + doppler, src/acquisition/doppler_shift.rs:13-22).
+    """
+
+    detected: jax.Array          # [P] bool, ratio > threshold
+    ratio: jax.Array             # [P] f32 peak/avg detection statistic
+    peak_power: jax.Array        # [P] f32
+    code_phase_samples: jax.Array  # [P] i32 lag of the peak
+    carrier_freq_hz: jax.Array   # [P] f32, f_if + doppler of best bin
+    power: jax.Array | None = None  # [P, D, N] full cube (debug/fine search)
+
+
+def doppler_grid(span_hz: float, step_hz: float) -> np.ndarray:
+    """Symmetric Doppler grid, reference semantics
+    (do_acquisition.rs:248-262): span/step + 1 bins from -span/2."""
+    n = int(span_hz / step_hz) + 1
+    return (-span_hz / 2.0 + np.arange(n) * step_hz).astype(np.float32)
+
+
+def code_replica_ffts(spec: SignalSpec, fs_hz: float, n_prn: int) -> jax.Array:
+    """[P, N] conj-ready FFTs of the sampled code replicas (precomputed
+    once, reference does this per worker at do_acquisition.rs:133-138)."""
+    reps = np.stack(
+        [spec.sample_code(p, spec.code_rate_hz, fs_hz) for p in range(1, n_prn + 1)]
+    ).astype(np.float32)
+    return jnp.asarray(np.fft.fft(reps, axis=-1).astype(np.complex64))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs_hz", "n_int", "threshold", "return_power"),
+)
+def pcps_search(
+    samples: jax.Array,        # [n_int * N] complex64, raw conditioned IQ
+    code_ffts: jax.Array,      # [P, N] complex64
+    carrier_freqs: jax.Array,  # [D] f32 = f_if + doppler grid
+    *,
+    fs_hz: float,
+    n_int: int,
+    threshold: float = 7.0,
+    return_power: bool = False,
+) -> AcqResults:
+    """Search all PRNs over all Doppler bins in one shot."""
+    n_fft = code_ffts.shape[-1]
+    n_prn = code_ffts.shape[0]
+    if samples.shape[-1] != n_int * n_fft:
+        raise ValueError(
+            f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
+        )
+
+    # Exact linear phase via uint32 NCO (see ops/nco.py); the reference
+    # precomputes f32 cos/-sin tables per bin (doppler_shift.rs:11-22).
+    step = nco.freq_to_step(carrier_freqs, fs_hz)          # [D] u32
+    phase = nco.phase_ramp(
+        jnp.zeros_like(step), step, n_int * n_fft
+    )                                                       # [D, L] u32
+    c, s = nco.cis(phase)
+    lo = jax.lax.complex(c, -s)                             # e^{-j theta}
+    shifted = (samples[None, :] * lo).reshape(-1, n_int, n_fft)
+    spectra = jnp.fft.fft(shifted, axis=-1)                 # [D, n_int, N]
+
+    conj_codes = jnp.conj(code_ffts)                        # [P, N]
+
+    def accumulate(acc, spectrum_c):
+        # spectrum_c: [D, N] -> correlate against every PRN at once
+        prod = spectrum_c[None, :, :] * conj_codes[:, None, :]   # [P, D, N]
+        corr = jnp.fft.ifft(prod, axis=-1)
+        return acc + jnp.abs(corr) ** 2, None
+
+    power0 = jnp.zeros((n_prn, spectra.shape[0], n_fft), jnp.float32)
+    power, _ = jax.lax.scan(
+        accumulate, power0, jnp.moveaxis(spectra, 1, 0)
+    )                                                       # [P, D, N]
+
+    peak_per_bin = power.max(axis=-1)                       # [P, D]
+    best_bin = jnp.argmax(peak_per_bin, axis=-1)            # [P]
+    bin_power = jnp.take_along_axis(
+        power, best_bin[:, None, None], axis=1
+    )[:, 0, :]                                              # [P, N]
+    code_phase = jnp.argmax(bin_power, axis=-1).astype(jnp.int32)
+    peak = jnp.max(bin_power, axis=-1)
+    avg = (jnp.sum(bin_power, axis=-1) - peak) / jnp.float32(n_fft - 1)
+    ratio = peak / jnp.maximum(avg, jnp.float32(1e-20))
+
+    return AcqResults(
+        detected=ratio > jnp.float32(threshold),
+        ratio=ratio,
+        peak_power=peak,
+        code_phase_samples=code_phase,
+        carrier_freq_hz=carrier_freqs[best_bin],
+        power=power if return_power else None,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs_hz", "n_int", "zero_pad")
+)
+def fine_doppler(
+    samples: jax.Array,        # [n_int * N] complex64
+    code_samples: jax.Array,   # [P, N] f32 +/-1 sampled replicas
+    code_phase: jax.Array,     # [P] i32 from pcps_search
+    coarse_freq: jax.Array,    # [P] f32 carrier (f_if + doppler) estimate
+    *,
+    fs_hz: float,
+    n_int: int,
+    zero_pad: int = 8,
+) -> jax.Array:
+    """Refine the carrier frequency with a long zero-padded FFT.
+
+    Capability parity with the reference's legacy fine-Doppler stage
+    (reference: src/acquisition/acquisition_bk.rs:215-302): align the code
+    replica at the acquired code phase, wipe the code off, and locate the
+    residual carrier line in a ``zero_pad``-times zero-padded FFT of the
+    full ``n_int`` ms. Resolution: fs / (zero_pad * n_int * N) Hz near the
+    coarse bin. Returns the refined carrier frequency [P] f32.
+
+    Redesign note: instead of the legacy's generic spectrum argmax, the
+    search is windowed to +/- one coarse bin around the coarse estimate so
+    a neighbouring satellite's line can never capture the refinement.
+    """
+    n_fft = code_samples.shape[-1]
+    length = n_int * n_fft
+    pad_len = zero_pad * length
+
+    def one(cp, code, f0):
+        # roll the replica to the acquired phase and tile over n_int ms
+        rep = jnp.roll(code, cp)
+        rep_long = jnp.tile(rep, n_int)
+        wiped = samples[:length] * rep_long  # code stripped (+/-1 chips)
+        spec = jnp.fft.fft(wiped, n=pad_len)
+        freqs = jnp.fft.fftfreq(pad_len, d=1.0 / fs_hz).astype(jnp.float32)
+        # window: +/-500 Hz around the coarse carrier estimate
+        w = jnp.abs(freqs - f0) <= 500.0
+        mag = jnp.where(w, jnp.abs(spec), -jnp.inf)
+        return freqs[jnp.argmax(mag)]
+
+    return jax.vmap(one)(code_phase, code_samples, coarse_freq)

@@ -1,13 +1,11 @@
 """Test harness: run JAX on CPU with an 8-device virtual mesh.
 
 Multi-chip sharding tests run on emulated host devices per SURVEY.md
-section 4's test plan; set before any jax import.
+section 4's test plan. The session environment pins JAX to the tunneled
+TPU ('axon' platform) in a way that ignores JAX_PLATFORMS, so the
+override goes through jax.config before any backend is initialized.
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
