@@ -1,0 +1,115 @@
+"""Early/Prompt/Late correlator — the tracking hot loop.
+
+TPU-native re-design of the reference's per-channel scalar loop
+(reference: src/tracking/do_tracking.rs:231-272): per sample, carrier
+wipeoff (sin/cos), three code-chip lookups at +/- the early-late spacing,
+and six multiply-accumulates. The reference runs this per channel on
+rayon threads; here it is one batched op over ``[channels, window]`` —
+vmapped for the XLA path, fused in Pallas for the optimized path
+(ops/pallas/epl_correlator.py).
+
+Shape-static design (SURVEY.md section 7 "hard parts"): the DLL changes
+``code_rate``, so true epoch length N_t = round(fs * L / code_rate)
+varies per channel per epoch. XLA needs static shapes, so every epoch
+reads a fixed window of W >= N_t samples and masks i >= N_t — equivalent
+math, static shape.
+
+Carrier phase uses the exact uint32 NCO (ops/nco.py). Code phase within
+the epoch is chip_frac + i * chips_per_sample in f32 (error ~1e-4 chips
+across a 16k window; the cross-epoch accumulators stay exact, see
+receiver/tracking.py).
+
+BOC support: the code table may be stored at ``oversample`` sub-chip
+resolution (2 for BOC(1,1) with the subcarrier baked in); chip indices
+scale accordingly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nco
+
+
+class EplSums(NamedTuple):
+    i_e: jax.Array
+    q_e: jax.Array
+    i_p: jax.Array
+    q_p: jax.Array
+    i_l: jax.Array
+    q_l: jax.Array
+
+
+def epl_correlate_one(
+    re: jax.Array,            # [W] f32 window samples (I)
+    im: jax.Array,            # [W] f32 window samples (Q)
+    n_valid: jax.Array,       # i32 scalar, samples in this epoch
+    carr_acc: jax.Array,      # u32 scalar, carrier phase at window[0]
+    carr_step: jax.Array,     # u32 scalar, carrier cycles/sample (u32 frac)
+    chip_int: jax.Array,      # i32 scalar, integer chip index at window[0]
+    chip_frac: jax.Array,     # f32 scalar in [0,1), fractional chips
+    chips_per_sample: jax.Array,  # f32 scalar, code_rate / fs
+    code: jax.Array,          # [L * oversample] f32 +/-1 code samples
+    *,
+    el_space: float = 0.5,
+    oversample: int = 1,
+) -> EplSums:
+    """Correlate one channel's epoch window against E/P/L replicas."""
+    w = re.shape[0]
+    n_code = code.shape[0]
+    i_f = jnp.arange(w, dtype=jnp.float32)
+    mask = jnp.arange(w, dtype=jnp.int32) < n_valid
+
+    # carrier wipeoff: x * e^{-j phi} (reference do_tracking.rs:232-238)
+    phase = carr_acc + jnp.arange(w, dtype=jnp.uint32) * carr_step
+    wre, wim = nco.mix_down(re, im, phase)
+    wre = jnp.where(mask, wre, 0.0)
+    wim = jnp.where(mask, wim, 0.0)
+
+    # chip phases (relative to chip_int) and E/P/L code lookups
+    # (reference do_tracking.rs:251-263: floor(cp +/- 0.5) mod L)
+    cp = chip_frac + i_f * chips_per_sample
+    os_f = jnp.float32(oversample)
+    base = chip_int * oversample
+
+    def chips_at(offset_chips):
+        idx = base + jnp.floor((cp + offset_chips) * os_f).astype(jnp.int32)
+        return code[jnp.mod(idx, n_code)]
+
+    early = chips_at(jnp.float32(el_space))
+    prompt = chips_at(jnp.float32(0.0))
+    late = chips_at(jnp.float32(-el_space))
+
+    return EplSums(
+        i_e=jnp.dot(wre, early),
+        q_e=jnp.dot(wim, early),
+        i_p=jnp.dot(wre, prompt),
+        q_p=jnp.dot(wim, prompt),
+        i_l=jnp.dot(wre, late),
+        q_l=jnp.dot(wim, late),
+    )
+
+
+# Batched over channels: windows [C, W], code rows [C, L*os], scalars [C].
+epl_correlate = jax.vmap(
+    epl_correlate_one,
+    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0),
+    out_axes=0,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("el_space", "oversample"))
+def epl_correlate_batch(
+    re, im, n_valid, carr_acc, carr_step, chip_int, chip_frac,
+    chips_per_sample, codes, el_space: float = 0.5, oversample: int = 1,
+) -> EplSums:
+    """Jitted convenience wrapper over the vmapped correlator."""
+    return jax.vmap(
+        functools.partial(
+            epl_correlate_one, el_space=el_space, oversample=oversample
+        )
+    )(re, im, n_valid, carr_acc, carr_step, chip_int, chip_frac,
+      chips_per_sample, codes)
