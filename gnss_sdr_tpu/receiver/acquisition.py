@@ -1,0 +1,184 @@
+"""Acquisition engine + adaptive search scheduler.
+
+Host-facing wrapper over the batched PCPS op (ops/pcps.py). The
+scheduling policy is capability parity with the reference's
+AcquisitionManager (reference: src/acquisition/do_acquisition.rs:33-74):
+cold/warm/steady modes by tracked-satellite count, per-mode pacing
+interval and candidate-list size. On TPU the whole PRN batch is searched
+in one graph launch regardless of the candidate list (batch compute is
+the same cost), so the candidate mask gates *handoff eligibility* rather
+than per-worker dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+from ..config import AcqConfig
+from ..models.constellation import SignalSpec
+from ..ops import pcps
+
+
+class SearchMode(enum.Enum):
+    COLD = "cold"
+    WARM = "warm"
+    STEADY = "steady"
+
+
+@dataclasses.dataclass
+class Candidate:
+    """One acquisition verdict eligible for tracking handoff.
+
+    Mirrors the reference's AcquisitionResult
+    (do_acquisition.rs:94-102) with the carrier already fine-refined.
+    """
+
+    prn: int
+    code_phase_samples: int
+    code_phase_chips: float
+    carrier_freq_hz: float      # includes IF
+    ratio: float
+    peak_power: float
+    sample_local_index: int     # code-boundary sample, window-relative
+
+
+class SearchScheduler:
+    """Cold/warm/steady pacing (reference do_acquisition.rs:50-73)."""
+
+    def __init__(self, cfg: AcqConfig):
+        self.cfg = cfg
+        self.mode = SearchMode.COLD
+        self.last_run_ms: Optional[float] = None
+
+    def update_mode(self, tracked_count: int) -> None:
+        if tracked_count >= self.cfg.steady_threshold:
+            self.mode = SearchMode.STEADY
+        elif tracked_count >= self.cfg.warm_threshold:
+            self.mode = SearchMode.WARM
+        else:
+            self.mode = SearchMode.COLD
+
+    def pacing(self) -> tuple[int, int]:
+        return {
+            SearchMode.COLD: self.cfg.cold_pacing,
+            SearchMode.WARM: self.cfg.warm_pacing,
+            SearchMode.STEADY: self.cfg.steady_pacing,
+        }[self.mode]
+
+    def candidates(self, active_prns: set[int]) -> list[int]:
+        """First ``search_size`` untracked PRNs (reference semantics:
+        do_acquisition.rs:65-68)."""
+        _, search_size = self.pacing()
+        out = [
+            prn for prn in range(1, self.cfg.n_prn + 1)
+            if prn not in active_prns
+        ]
+        return out[:search_size]
+
+    def due(self, now_ms: float) -> bool:
+        interval_ms, _ = self.pacing()
+        return self.last_run_ms is None or now_ms - self.last_run_ms >= interval_ms
+
+    def mark_run(self, now_ms: float) -> None:
+        self.last_run_ms = now_ms
+
+
+class AcquisitionEngine:
+    """Precomputed replicas + one-call batched search."""
+
+    def __init__(
+        self,
+        cfg: AcqConfig,
+        spec: SignalSpec,
+        fs_hz: float,
+        f_if_hz: float = 0.0,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.fs_hz = fs_hz
+        self.f_if_hz = f_if_hz
+        self.n_fft = spec.samples_per_code(fs_hz)
+        self.code_ffts = pcps.code_replica_ffts(spec, fs_hz, cfg.n_prn)
+        self.grid = (
+            pcps.doppler_grid(cfg.doppler_span_hz, cfg.doppler_step_hz)
+            + np.float32(f_if_hz)
+        )
+        self.code_samples = np.stack(
+            [
+                spec.sample_code(p, spec.code_rate_hz, fs_hz)
+                for p in range(1, cfg.n_prn + 1)
+            ]
+        ).astype(np.float32)
+
+    @property
+    def samples_needed(self) -> int:
+        return self.cfg.non_coherent_ms // self.spec.code_period_ms * self.n_fft
+
+    def search(
+        self,
+        samples: np.ndarray,
+        window_offset: int = 0,
+        allowed_prns: Optional[set[int]] = None,
+    ) -> list[Candidate]:
+        """Run PCPS (+ optional fine Doppler) over a sample chunk.
+
+        ``samples`` must be ``samples_needed`` long; ``window_offset`` is
+        the chunk's position inside the caller's window so candidates
+        carry window-relative boundary indices (the reference's
+        local_tail + code_phase, do_acquisition.rs:220).
+        """
+        n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
+        res = pcps.pcps_search(
+            np.ascontiguousarray(samples, dtype=np.complex64),
+            self.code_ffts,
+            self.grid,
+            fs_hz=self.fs_hz,
+            n_int=n_int,
+            threshold=self.cfg.detection_threshold,
+        )
+        detected = np.asarray(res.detected)
+        if not detected.any():
+            return []
+
+        freqs = np.asarray(res.carrier_freq_hz)
+        if self.cfg.fine_doppler:
+            fine = np.asarray(
+                pcps.fine_doppler(
+                    np.ascontiguousarray(samples, dtype=np.complex64),
+                    self.code_samples,
+                    res.code_phase_samples,
+                    res.carrier_freq_hz,
+                    fs_hz=self.fs_hz,
+                    n_int=n_int,
+                    zero_pad=self.cfg.fine_doppler_zero_pad,
+                )
+            )
+            freqs = np.where(detected, fine, freqs)
+
+        ratios = np.asarray(res.ratio)
+        peaks = np.asarray(res.peak_power)
+        lags = np.asarray(res.code_phase_samples)
+        out = []
+        for idx in np.where(detected)[0]:
+            prn = int(idx) + 1
+            if allowed_prns is not None and prn not in allowed_prns:
+                continue
+            lag = int(lags[idx])
+            out.append(
+                Candidate(
+                    prn=prn,
+                    code_phase_samples=lag,
+                    code_phase_chips=lag
+                    * self.spec.code_rate_hz
+                    / self.fs_hz,
+                    carrier_freq_hz=float(freqs[idx]),
+                    ratio=float(ratios[idx]),
+                    peak_power=float(peaks[idx]),
+                    sample_local_index=window_offset + lag,
+                )
+            )
+        out.sort(key=lambda c: -c.ratio)
+        return out

@@ -1,0 +1,158 @@
+"""The receiver: streaming orchestration of acquisition + tracking.
+
+TPU-native replacement for the reference's four-thread pipeline
+(reference: src/main.rs:167-230 — sdr/rf/acq/trk threads over ring
+buffers and crossbeam channels; note SURVEY.md section 3.1: the
+reference's main() joins each thread immediately and thus never actually
+runs concurrently — this implements the *intended* design). Here the
+host loop is simple and sequential; all concurrency lives inside the
+batched device graphs:
+
+  per block:  advance window -> (paced) PCPS search + handoff ->
+              track_block scan -> rebase -> telemetry/lifecycle
+
+Channel lifecycle (Idle -> Tracking -> Lost -> re-search) replaces the
+crossbeam SatelliteLocked/SatelliteLost message protocol
+(do_tracking.rs:47-50, do_acquisition.rs:278-287) with pure-functional
+state transitions plus a host-side PRN<->channel map.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReceiverConfig
+from ..models.constellation import get_signal
+from ..utils.telemetry import TelemetryLog
+from . import tracking as trk
+from .acquisition import AcquisitionEngine, SearchScheduler
+from .stream import SampleSource, StreamWindow
+
+
+class Receiver:
+    def __init__(self, cfg: ReceiverConfig, source: SampleSource):
+        self.cfg = cfg
+        self.source = source
+        self.spec = get_signal(cfg.acq.signal)
+        self.fs = float(source.fs_hz)
+        self.f_if = float(cfg.f_if_hz)
+
+        n0 = self.spec.samples_per_code(self.fs)
+        self.n0 = n0
+        period = self.spec.code_period_ms
+        if cfg.block_ms % period:
+            raise ValueError(
+                f"block_ms={cfg.block_ms} must be a multiple of the "
+                f"code period ({period} ms)"
+            )
+        self.epochs_per_block = cfg.block_ms // period
+        self.block = self.epochs_per_block * n0
+        acq_len = (cfg.acq.non_coherent_ms // period) * n0
+        self.acq_len = acq_len
+        # history: the acquisition chunk plus tracking window slack must
+        # stay addressable behind the frontier
+        self.history = acq_len + 2 * n0
+
+        self.params = trk.TrackParams.create(cfg.track, self.spec, self.fs)
+        self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
+        self.state = trk.init_state(cfg.track.n_channels)
+        self.window = StreamWindow(self.history, self.block)
+        self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
+        self.scheduler = SearchScheduler(cfg.acq)
+        self.telemetry = TelemetryLog(cfg.track.n_channels)
+        self.active: dict[int, int] = {}   # prn -> channel
+        self.time_ms = 0.0
+        self.acq_events: list = []
+
+    # ------------------------------------------------------------------
+    def _run_acquisition(self) -> None:
+        w0 = self.history + self.block - self.acq_len
+        chunk = self.window.buf[w0:]
+        allowed = set(self.scheduler.candidates(set(self.active)))
+        if not allowed:
+            return
+        cands = self.engine.search(chunk, window_offset=w0, allowed_prns=allowed)
+        self.scheduler.mark_run(self.time_ms)
+        for cand in cands:
+            if cand.prn in self.active:
+                continue
+            idle = np.where(~np.asarray(self.state.active))[0]
+            if idle.size == 0:
+                break  # no free channel (reference drops the result too,
+                # do_tracking.rs:351-361 finds no Idle channel)
+            ch = int(idle[0])
+            self.state = trk.start_channel(
+                self.state, ch, cand.prn - 1, cand.carrier_freq_hz,
+                cand.sample_local_index, self.spec.code_rate_hz,
+            )
+            self.active[cand.prn] = ch
+            self.telemetry.open_channel(ch, cand.prn)
+            self.acq_events.append((self.time_ms, cand))
+
+    # ------------------------------------------------------------------
+    def step(self) -> bool:
+        """Process one block; returns False at end of stream."""
+        n_fresh = self.window.advance(self.source)
+        if n_fresh is None:
+            return False
+        self.time_ms += self.cfg.block_ms
+
+        # paced satellite search over the freshest samples
+        self.scheduler.update_mode(len(self.active))
+        have_enough = self.window.blocks_fed * self.block >= self.acq_len
+        if have_enough and self.scheduler.due(self.time_ms):
+            self._run_acquisition()
+
+        # one scan over the block for all channels (+1 catch-up epoch)
+        codes_ch = self.codes_full[jnp.maximum(self.state.prn_idx, 0)]
+        re = np.ascontiguousarray(np.real(self.window.buf), dtype=np.float32)
+        im = np.ascontiguousarray(np.imag(self.window.buf), dtype=np.float32)
+        self.state, telem = trk.track_block(
+            self.params, codes_ch, self.state, re, im,
+            self.epochs_per_block + 1,
+        )
+
+        self.telemetry.append_block(telem, self.window.global_start)
+
+        # lifecycle: channels lost during this block free their PRN
+        lost = np.asarray(telem.lost_event).any(axis=0)
+        if lost.any():
+            for prn, ch in list(self.active.items()):
+                if lost[ch]:
+                    del self.active[prn]
+                    self.telemetry.close_channel(ch)
+
+        self.state = trk.rebase(self.state, self.block)
+        return True
+
+    # ------------------------------------------------------------------
+    def run(self, max_blocks: Optional[int] = None) -> dict:
+        blocks = 0
+        while (max_blocks is None or blocks < max_blocks) and self.step():
+            blocks += 1
+        return self.summary()
+
+    def summary(self) -> dict:
+        traces = self.telemetry.all_traces()
+        return {
+            "blocks": self.window.blocks_fed,
+            "time_ms": self.time_ms,
+            "tracked_prns": sorted(self.active),
+            "channels": [
+                {
+                    "prn": t.prn,
+                    "epochs": len(t.i_p),
+                    "locked_fraction": (
+                        float(np.mean(t.locked)) if t.locked else 0.0
+                    ),
+                    "cn0_dbhz": t.cn0_dbhz(),
+                    "last_carr_freq": t.carr_freq[-1] if t.carr_freq else None,
+                    "last_doppler_hz": (
+                        t.carr_freq[-1] - self.f_if if t.carr_freq else None
+                    ),
+                }
+                for t in traces
+            ],
+        }

@@ -1,0 +1,161 @@
+"""Sample sources and the host-side streaming window.
+
+Replaces the reference's device/ingest stack — SoapySDR trait + reader
+thread + SPSC ring + SPMC multicast ring (reference:
+src/sdr_store/sdr_wrapper.rs:51-202, sdr_thread.rs:9-37,
+src/utilities/multicast_ring_buffer.rs) — with a pull-based
+``SampleSource`` protocol and one host-resident rolling window that is
+shipped to the device once per block. TPUs cannot talk USB, so live-SDR
+ingest is an I/O boundary (SURVEY.md section 2 note); the file and
+synthetic sources implement the same protocol a SoapySDR shim would.
+
+The absolute-sample-index time base of the reference's multicast ring
+(multicast_ring_buffer.rs:103-105) is preserved as
+``StreamWindow.global_start`` — a host-side Python int (unbounded), while
+device offsets stay block-relative int32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Protocol, Sequence
+
+import numpy as np
+
+from ..models.signal import SatelliteScenario, synthesize
+
+
+class SampleSource(Protocol):
+    """Pull-based complex-sample source."""
+
+    fs_hz: float
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        """Return up to ``n`` complex64 samples, or None at end-of-stream."""
+        ...
+
+
+class FileSource:
+    """Reads IQ captures from disk.
+
+    Formats (``SdrConfig.file_format``):
+      * ``int8_real`` — the bundled-capture wire format: one int8 per real
+        sample at IF (reference do_acquisition.rs:420-424)
+      * ``int8_iq``   — interleaved int8 I,Q pairs (RTL-SDR style, after
+        the reference's deinterleave at frontend.rs:34-40)
+      * ``f32_iq``    — interleaved float32 I,Q pairs
+    """
+
+    def __init__(self, path: str, fs_hz: float, file_format: str = "int8_real"):
+        self.fs_hz = fs_hz
+        self.format = file_format
+        self._f = open(path, "rb")
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        if self.format == "int8_real":
+            raw = np.frombuffer(self._f.read(n), dtype=np.int8)
+            if raw.size == 0:
+                return None
+            return raw.astype(np.float32).astype(np.complex64)
+        if self.format == "int8_iq":
+            raw = np.frombuffer(self._f.read(2 * n), dtype=np.int8)
+            if raw.size < 2:
+                return None
+            raw = raw[: (raw.size // 2) * 2].astype(np.float32)
+            return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+        if self.format == "f32_iq":
+            raw = np.frombuffer(self._f.read(8 * n), dtype=np.float32)
+            if raw.size < 2:
+                return None
+            raw = raw[: (raw.size // 2) * 2]
+            return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+        raise ValueError(f"unknown file format {self.format!r}")
+
+    def close(self):
+        self._f.close()
+
+
+class SyntheticSource:
+    """Streams the synthetic oracle scene with exact phase continuity."""
+
+    def __init__(
+        self,
+        sats: Sequence[SatelliteScenario],
+        fs_hz: float,
+        f_if_hz: float = 0.0,
+        noise_std: float = 0.0,
+        seed: int = 0,
+        total_samples: Optional[int] = None,
+    ):
+        self.fs_hz = fs_hz
+        self.sats = list(sats)
+        self.f_if_hz = f_if_hz
+        self.noise_std = noise_std
+        self.seed = seed
+        self.total = total_samples
+        self._pos = 0
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        if self.total is not None:
+            n = min(n, self.total - self._pos)
+            if n <= 0:
+                return None
+        out = synthesize(
+            self.sats, n, self.fs_hz,
+            f_if_hz=self.f_if_hz, noise_std=self.noise_std,
+            # per-chunk seed keeps noise i.i.d. across chunks yet
+            # deterministic for a given stream position
+            seed=self.seed + self._pos,
+            start_sample=self._pos,
+        )
+        self._pos += n
+        return out
+
+
+class ArraySource:
+    """Wraps an in-memory array (the mock-device role of the reference's
+    MockDevice, src/sdr_mock/device_mock.rs:7-69)."""
+
+    def __init__(self, samples: np.ndarray, fs_hz: float):
+        self.fs_hz = fs_hz
+        self._samples = np.asarray(samples, dtype=np.complex64)
+        self._pos = 0
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        if self._pos >= self._samples.size:
+            return None
+        out = self._samples[self._pos:self._pos + n]
+        self._pos += out.size
+        return out
+
+
+class StreamWindow:
+    """Rolling history+block sample window fed to the device each step.
+
+    Layout: ``[history | block]`` of ``h + b`` samples. ``advance()``
+    rolls the block into history and appends fresh samples; short final
+    blocks are zero-padded and reported so the pipeline can mask them.
+    """
+
+    def __init__(self, history: int, block: int):
+        self.h = history
+        self.b = block
+        self.buf = np.zeros(history + block, dtype=np.complex64)
+        self.global_start = -history  # global index of buf[0]
+        self.blocks_fed = 0
+
+    def advance(self, source: SampleSource) -> Optional[int]:
+        """Pull one block; returns valid sample count or None at EOS."""
+        fresh = source.read(self.b)
+        if fresh is None or fresh.size == 0:
+            return None
+        self.buf[: self.h] = self.buf[self.b:self.b + self.h].copy()
+        self.buf[self.h:] = 0.0
+        self.buf[self.h:self.h + fresh.size] = fresh
+        self.global_start += self.b
+        self.blocks_fed += 1
+        return int(fresh.size)
+
+    def to_global(self, local_index: int) -> int:
+        return self.global_start + local_index
+
+    def to_local(self, global_index: int) -> int:
+        return global_index - self.global_start
