@@ -1,0 +1,132 @@
+"""Headline benchmark: 32-channel GPS L1 C/A acquisition + tracking
+real-time factor on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value  = real-time factor (seconds of signal processed per wall second)
+         for 32 tracking channels at the bundled-capture sample rate
+         (16.3676 MHz, reference src/test_data/GPS_recordings/config.txt)
+         with steady-state acquisition amortized in (one full 32-PRN x
+         29-Doppler PCPS search per 2 s of signal, the reference's
+         steady pacing, do_acquisition.rs:62).
+vs_baseline = value / 500 (BASELINE.json north star: >=500x real time
+         per chip; the reference publishes no numbers, BASELINE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=16_367_600.0)
+    ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--block-ms", type=int, default=100)
+    ap.add_argument("--blocks", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gnss_sdr_tpu.config import AcqConfig, TrackConfig
+    from gnss_sdr_tpu.models import GPS_L1CA
+    from gnss_sdr_tpu.ops import pcps
+    from gnss_sdr_tpu.receiver import tracking as trk
+
+    spec = GPS_L1CA
+    fs = args.fs
+    n0 = spec.samples_per_code(fs)
+    n_prn, n_int = 32, 10
+
+    trk_cfg = TrackConfig(n_channels=args.channels)
+    params = trk.TrackParams.create(trk_cfg, spec, fs)
+    codes = trk.make_code_table(spec, n_prn)
+    code_ffts = pcps.code_replica_ffts(spec, fs, n_prn)
+    grid = jnp.asarray(pcps.doppler_grid(14_000.0, 500.0))
+
+    state = trk.init_state(args.channels)
+    for ch in range(args.channels):
+        state = trk.start_channel(
+            state, ch, ch % n_prn, 1000.0 + 10.0 * ch, ch * 13,
+            spec.code_rate_hz,
+        )
+    codes_ch = codes[jnp.maximum(state.prn_idx, 0)]
+
+    epochs = args.block_ms // spec.code_period_ms
+    block_len = (epochs + 1) * n0 + params.window
+
+    rng = np.random.default_rng(0)
+    block_re = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
+    block_im = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
+    acq_chunk = jnp.asarray(
+        rng.standard_normal(n_int * n0) + 1j * rng.standard_normal(n_int * n0),
+        jnp.complex64,
+    )
+
+    track_fn = jax.jit(
+        lambda st: trk.track_block(
+            params, codes_ch, st, block_re, block_im, epochs + 1
+        )
+    )
+    acq_fn = jax.jit(
+        lambda x: pcps.pcps_search(x, code_ffts, grid, fs_hz=fs, n_int=n_int)
+    )
+
+    # warm-up compiles
+    st, telem = track_fn(state)
+    jax.block_until_ready(telem.power)
+    res = acq_fn(acq_chunk)
+    jax.block_until_ready(res.ratio)
+
+    # timed tracking
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(args.blocks):
+        st, telem = track_fn(st)
+        st = trk.rebase(st, epochs * n0)
+    jax.block_until_ready(telem.power)
+    t_track = time.perf_counter() - t0
+
+    # timed acquisition (average of 3)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        res = acq_fn(acq_chunk)
+        jax.block_until_ready(res.ratio)
+    t_acq = (time.perf_counter() - t0) / 3.0
+
+    signal_s = args.blocks * args.block_ms / 1000.0
+    # steady-state pacing: one full search per 2 s of signal
+    amortized_acq = t_acq * (signal_s / 2.0)
+    wall = t_track + amortized_acq
+    rtf = signal_s / wall
+    samples_per_s = rtf * fs
+
+    result = {
+        "metric": (
+            f"real-time factor, {args.channels}-ch GPS L1 C/A acq+track "
+            f"@ {fs/1e6:.4f} MHz, 1 chip"
+        ),
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 500.0, 3),
+        "detail": {
+            "track_s_per_signal_s": round(t_track / signal_s, 5),
+            "acq_full_search_s": round(t_acq, 4),
+            "iq_samples_per_s": round(samples_per_s),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
