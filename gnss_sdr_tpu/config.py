@@ -40,7 +40,9 @@ class RfConfig:
     freq_if_hz: Optional[float] = None   # None -> derived center - carrier
     output_sample_rate_hz: float = 2_048_000.0
     dc_alpha: float = 0.001              # one-pole DC tracker coefficient
-    enable_dc_removal: bool = True
+    # conditioning defaults off for already-clean complex baseband
+    # streams; real SDR front ends enable DC removal + mixing
+    enable_dc_removal: bool = False
     enable_mixing: bool = True
     # polyphase decimating FIR (the resampler the reference left TODO,
     # reference frontend.rs:64-66)

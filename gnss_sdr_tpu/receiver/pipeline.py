@@ -36,8 +36,22 @@ class Receiver:
         self.cfg = cfg
         self.source = source
         self.spec = get_signal(cfg.acq.signal)
-        self.fs = float(source.fs_hz)
-        self.f_if = float(cfg.f_if_hz)
+
+        # Digital front end (reference L2): mixes out the IF and/or
+        # decimates before the window, so everything downstream runs at
+        # baseband and the (lower) output rate.
+        self.fs_in = float(source.fs_hz)
+        stream_if = float(cfg.f_if_hz)
+        self.decim = max(1, cfg.rf.decimation)
+        self.mix = cfg.rf.enable_mixing and stream_if != 0.0
+        self.dc = cfg.rf.enable_dc_removal
+        self.conditioning = self.mix or self.dc or self.decim > 1
+        self.mix_freq = stream_if if self.mix else 0.0
+        self.fs = self.fs_in / self.decim
+        self.f_if = 0.0 if self.mix else stream_if
+        self._fe_phase = np.uint32(0)
+        self._fe_bias_re = np.float32(0.0)
+        self._fe_bias_im = np.float32(0.0)
 
         n0 = self.spec.samples_per_code(self.fs)
         self.n0 = n0
@@ -92,9 +106,38 @@ class Receiver:
             self.acq_events.append((self.time_ms, cand))
 
     # ------------------------------------------------------------------
+    def _pull_block(self):
+        """Read one raw block and run the front-end conditioning chain."""
+        from ..ops.frontend import condition_block
+
+        raw = self.source.read(self.block * self.decim)
+        if raw is None or raw.size == 0:
+            return None
+        n_valid = -(-raw.size // self.decim)  # valid output samples
+        if raw.size < self.block * self.decim:
+            raw = np.pad(raw, (0, self.block * self.decim - raw.size))
+        if not self.conditioning:
+            return raw, n_valid
+        re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
+        im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
+        re, im, self._fe_phase, self._fe_bias_re, self._fe_bias_im = (
+            condition_block(
+                re, im, np.float32(self.mix_freq), self._fe_phase,
+                self._fe_bias_re, self._fe_bias_im,
+                fs_hz=self.fs_in, alpha=self.cfg.rf.dc_alpha,
+                decimation=self.decim, enable_dc=self.dc,
+                enable_mix=self.mix,
+            )
+        )
+        return np.asarray(re) + 1j * np.asarray(im), n_valid
+
     def step(self) -> bool:
         """Process one block; returns False at end of stream."""
-        n_fresh = self.window.advance(self.source)
+        pulled = self._pull_block()
+        if pulled is None:
+            return False
+        samples, n_valid = pulled
+        n_fresh = self.window.advance(samples)
         if n_fresh is None:
             return False
         self.time_ms += self.cfg.block_ms
@@ -112,6 +155,7 @@ class Receiver:
         self.state, telem = trk.track_block(
             self.params, codes_ch, self.state, re, im,
             self.epochs_per_block + 1,
+            valid_len=np.int32(self.history + n_valid),
         )
 
         self.telemetry.append_block(telem, self.window.global_start)

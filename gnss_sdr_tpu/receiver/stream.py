@@ -142,9 +142,9 @@ class StreamWindow:
         self.global_start = -history  # global index of buf[0]
         self.blocks_fed = 0
 
-    def advance(self, source: SampleSource) -> Optional[int]:
-        """Pull one block; returns valid sample count or None at EOS."""
-        fresh = source.read(self.b)
+    def advance(self, fresh: Optional[np.ndarray]) -> Optional[int]:
+        """Roll in one block of samples; returns the valid sample count,
+        or None at end-of-stream (``fresh`` empty/None)."""
         if fresh is None or fresh.size == 0:
             return None
         self.buf[: self.h] = self.buf[self.b:self.b + self.h].copy()

@@ -218,10 +218,15 @@ def epoch_step(
     state: ChannelState,
     block_re: jax.Array,       # [B] f32
     block_im: jax.Array,       # [B] f32
+    valid_len: jax.Array | None = None,  # i32 scalar: valid samples in block
 ) -> tuple[ChannelState, EpochTelemetry]:
     """One tracking epoch for all channels (masked where impossible)."""
     p = params
     block_len = block_re.shape[0]
+    limit = (
+        jnp.int32(block_len) if valid_len is None
+        else jnp.minimum(jnp.int32(block_len), valid_len)
+    )
     fs = jnp.float32(p.fs_hz)
 
     # true epoch length from current code rate
@@ -237,7 +242,7 @@ def epoch_step(
     can = (
         state.active
         & (state.offset >= 0)
-        & (state.offset + p.window <= block_len)
+        & (state.offset + p.window <= limit)
     )
 
     start = jnp.clip(state.offset, 0, block_len - p.window)
@@ -349,17 +354,19 @@ def track_block(
     block_re: jax.Array,
     block_im: jax.Array,
     n_epochs: int,
+    valid_len: jax.Array | None = None,
 ) -> tuple[ChannelState, EpochTelemetry]:
     """Run ``n_epochs`` tracking epochs over one resident sample block.
 
     Returns the carried state and [T, C] telemetry. The caller picks
     ``n_epochs = block_ms / code_period_ms + 1`` — the +1 lets channels
     that fell behind catch up one epoch per block (self-healing against
-    per-channel epoch-length drift).
+    per-channel epoch-length drift). ``valid_len`` bounds processing when
+    the block's tail is zero padding (short final read).
     """
 
     def body(st, _):
-        return epoch_step(params, codes, st, block_re, block_im)
+        return epoch_step(params, codes, st, block_re, block_im, valid_len)
 
     return jax.lax.scan(body, state, None, length=n_epochs)
 
