@@ -63,34 +63,29 @@ def code_replica_ffts(spec: SignalSpec, fs_hz: float, n_prn: int) -> jax.Array:
     return jnp.asarray(np.fft.fft(reps, axis=-1).astype(np.complex64))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fs_hz", "n_int", "threshold", "return_power"),
-)
-def pcps_search(
-    samples: jax.Array,        # [n_int * N] complex64, raw conditioned IQ
+def pcps_power(
+    samples: jax.Array,        # [n_int * N] complex64
     code_ffts: jax.Array,      # [P, N] complex64
-    carrier_freqs: jax.Array,  # [D] f32 = f_if + doppler grid
+    carrier_freqs: jax.Array,  # [D] f32
     *,
     fs_hz: float,
     n_int: int,
-    threshold: float = 7.0,
-    return_power: bool = False,
-) -> AcqResults:
-    """Search all PRNs over all Doppler bins in one shot."""
+    sample_offset=0,           # traced/int: global index of samples[0],
+                               # so time-sharded chunks keep exact phase
+) -> jax.Array:
+    """Non-coherently integrated correlation power cube [P, D, N].
+
+    Traceable core shared by the single-chip search and the sharded
+    variants in gnss_sdr_tpu.parallel (time shards psum these cubes).
+    """
     n_fft = code_ffts.shape[-1]
     n_prn = code_ffts.shape[0]
-    if samples.shape[-1] != n_int * n_fft:
-        raise ValueError(
-            f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
-        )
 
     # Exact linear phase via uint32 NCO (see ops/nco.py); the reference
     # precomputes f32 cos/-sin tables per bin (doppler_shift.rs:11-22).
     step = nco.freq_to_step(carrier_freqs, fs_hz)          # [D] u32
-    phase = nco.phase_ramp(
-        jnp.zeros_like(step), step, n_int * n_fft
-    )                                                       # [D, L] u32
+    acc0 = jnp.asarray(sample_offset, jnp.uint32) * step
+    phase = nco.phase_ramp(acc0, step, n_int * n_fft)       # [D, L] u32
     c, s = nco.cis(phase)
     lo = jax.lax.complex(c, -s)                             # e^{-j theta}
     shifted = (samples[None, :] * lo).reshape(-1, n_int, n_fft)
@@ -108,7 +103,18 @@ def pcps_search(
     power, _ = jax.lax.scan(
         accumulate, power0, jnp.moveaxis(spectra, 1, 0)
     )                                                       # [P, D, N]
+    return power
 
+
+def detect(
+    power: jax.Array,          # [P, D, N]
+    carrier_freqs: jax.Array,  # [D]
+    threshold: float,
+    return_power: bool = False,
+) -> AcqResults:
+    """Peak/avg detector over the power cube (reference semantics,
+    do_acquisition.rs:195-238)."""
+    n_fft = power.shape[-1]
     peak_per_bin = power.max(axis=-1)                       # [P, D]
     best_bin = jnp.argmax(peak_per_bin, axis=-1)            # [P]
     bin_power = jnp.take_along_axis(
@@ -127,6 +133,32 @@ def pcps_search(
         carrier_freq_hz=carrier_freqs[best_bin],
         power=power if return_power else None,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs_hz", "n_int", "threshold", "return_power"),
+)
+def pcps_search(
+    samples: jax.Array,        # [n_int * N] complex64, raw conditioned IQ
+    code_ffts: jax.Array,      # [P, N] complex64
+    carrier_freqs: jax.Array,  # [D] f32 = f_if + doppler grid
+    *,
+    fs_hz: float,
+    n_int: int,
+    threshold: float = 7.0,
+    return_power: bool = False,
+) -> AcqResults:
+    """Search all PRNs over all Doppler bins in one shot."""
+    n_fft = code_ffts.shape[-1]
+    if samples.shape[-1] != n_int * n_fft:
+        raise ValueError(
+            f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
+        )
+    power = pcps_power(
+        samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int
+    )
+    return detect(power, carrier_freqs, threshold, return_power)
 
 
 @functools.partial(

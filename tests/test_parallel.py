@@ -1,0 +1,140 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+The determinism gate from BASELINE.md: 1-shard vs N-shard runs must
+produce (bit-)identical correlator outputs. The reference has no
+distributed story at all (SURVEY.md section 4 "no multi-node story").
+"""
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import parallel
+from gnss_sdr_tpu.config import TrackConfig
+from gnss_sdr_tpu.models import GPS_L1CA, SatelliteScenario, synthesize
+from gnss_sdr_tpu.ops import pcps
+from gnss_sdr_tpu.receiver import tracking as trk
+
+FS = 2_048_000.0
+N = GPS_L1CA.samples_per_code(FS)  # 2048
+CODE_RATE = GPS_L1CA.code_rate_hz
+
+
+def test_mesh_construction():
+    m = parallel.make_mesh(n_time=2, n_channel=4)
+    assert m.shape == {"time": 2, "channel": 4}
+    with pytest.raises(ValueError):
+        parallel.make_mesh(n_time=16, n_channel=16)
+
+
+class TestChannelShardedTracking:
+    def test_bit_identical_to_single_device(self):
+        cfg = TrackConfig(n_channels=16)
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes = trk.make_code_table(GPS_L1CA, 32)
+
+        sats = [
+            SatelliteScenario(prn=p, doppler_hz=300.0 * p,
+                              code_phase_chips=13.0 * p)
+            for p in range(1, 9)
+        ]
+        sig = synthesize(sats, 40 * N, FS, noise_std=0.5, seed=5)
+        re = np.real(sig).astype(np.float32)
+        im = np.imag(sig).astype(np.float32)
+
+        state = trk.init_state(16)
+        for ch in range(8):
+            state = trk.start_channel(
+                state, ch, ch, 300.0 * (ch + 1), 0, CODE_RATE
+            )
+        codes_ch = codes[np.maximum(np.asarray(state.prn_idx), 0)]
+
+        ref_state, ref_telem = trk.track_block(
+            params, codes_ch, state, re, im, 30
+        )
+
+        mesh = parallel.make_mesh(n_time=1, n_channel=8)
+        sh_state, sh_telem = parallel.sharded_track_block(
+            mesh, params, codes_ch, state, re, im, 30
+        )
+
+        for name in ("i_p", "q_p", "i_e", "q_l", "carr_freq", "code_rate"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref_telem, name)),
+                np.asarray(getattr(sh_telem, name)),
+                err_msg=f"telemetry field {name} differs under sharding",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.carr_acc), np.asarray(sh_state.carr_acc)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.offset), np.asarray(sh_state.offset)
+        )
+
+
+class TestShardedAcquisition:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        sats = [
+            SatelliteScenario(prn=6, doppler_hz=2500.0, amplitude=0.3),
+            SatelliteScenario(prn=24, doppler_hz=-4100.0, amplitude=0.25),
+        ]
+        x = synthesize(sats, 8 * N, FS, noise_std=1.0, seed=9)
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, FS, 32)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        ref = pcps.pcps_search(x, code_ffts, grid, fs_hz=FS, n_int=8)
+        return x, code_ffts, grid, ref
+
+    def test_prn_sharded_matches(self, scene):
+        x, code_ffts, grid, ref = scene
+        mesh = parallel.make_mesh(n_time=1, n_channel=8)
+        res = parallel.sharded_pcps_search(
+            mesh, x, code_ffts, grid, fs_hz=FS, n_int=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.detected), np.asarray(res.detected)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.ratio), np.asarray(res.ratio), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.code_phase_samples),
+            np.asarray(res.code_phase_samples),
+        )
+
+    @pytest.mark.parametrize("n_time", [2, 4, 8])
+    def test_time_sharded_matches(self, scene, n_time):
+        x, code_ffts, grid, ref = scene
+        mesh = parallel.make_mesh(n_time=n_time, n_channel=1)
+        res = parallel.time_sharded_pcps_search(
+            mesh, x, code_ffts, grid, fs_hz=FS, n_int=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.detected), np.asarray(res.detected)
+        )
+        # fp sum order differs across shards: allow tiny tolerance
+        np.testing.assert_allclose(
+            np.asarray(ref.ratio), np.asarray(res.ratio), rtol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.code_phase_samples),
+            np.asarray(res.code_phase_samples),
+        )
+        assert set(np.where(np.asarray(res.detected))[0] + 1) == {6, 24}
+
+    def test_time_sharded_indivisible_raises(self, scene):
+        x, code_ffts, grid, _ = scene
+        mesh = parallel.make_mesh(n_time=3, n_channel=1)
+        with pytest.raises(ValueError):
+            parallel.time_sharded_pcps_search(
+                mesh, x, code_ffts, grid, fs_hz=FS, n_int=8
+            )
+
+    def test_grid_mesh_2x4(self, scene):
+        """Combined time x channel mesh: PRNs sharded 4-way, time 2-way."""
+        x, code_ffts, grid, ref = scene
+        mesh = parallel.make_mesh(n_time=2, n_channel=4)
+        res = parallel.time_sharded_pcps_search(
+            mesh, x, code_ffts, grid, fs_hz=FS, n_int=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.detected), np.asarray(res.detected)
+        )
