@@ -1,0 +1,162 @@
+"""Per-channel navigation processing attached to the receiver.
+
+Completes the full-receiver chain (BASELINE.md config 5): prompt-I
+telemetry -> bit sync -> frame sync -> subframes -> ephemeris + TOW ->
+pseudoranges -> PVT. Runs host-side over the telemetry the device
+pipeline emits (SURVEY.md section 7: bit-level decoding stays off the
+accelerator).
+
+Time bookkeeping: each decoded subframe pins one (epoch, global_sample)
+pair to GPS time — the HOW TOW is the time of the *next* subframe start
+(IS-GPS-200 20.3.3.2), so the pinned subframe started at tow_s - 6.
+From that anchor, any later epoch's transmit time follows by counting
+code periods; receiver time for the same epoch is global_sample / fs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..nav.bits import BitSynchronizer, FrameDecoder, Subframe
+from ..nav.ephemeris import Ephemeris, EphemerisAssembler
+from ..nav.pvt import PvtSolution, solve_pvt
+
+
+@dataclasses.dataclass
+class TimeAnchor:
+    """GPS-time pin: epoch index whose code-period start transmits at
+    ``tow_s`` seconds-of-week."""
+
+    epoch: int
+    global_sample: int
+    tow_s: float
+
+
+class ChannelNav:
+    """One channel's decoding chain (reference capability:
+    src/decoding.rs NavSyncStatus, properly implemented)."""
+
+    def __init__(self, prn: int, code_period_s: float = 1e-3):
+        self.prn = prn
+        self.code_period_s = code_period_s
+        self.bit_sync = BitSynchronizer()
+        self.frames = FrameDecoder()
+        self.anchor: Optional[TimeAnchor] = None
+        self.subframe_count = 0
+        self._bit_samples: list[int] = []  # global_sample of each bit start
+
+    def feed_epoch(self, i_prompt: float, epoch: int,
+                   global_sample: int) -> Optional[Subframe]:
+        bit = self.bit_sync.feed(i_prompt, epoch)
+        if bit is None:
+            return None
+        self._bit_samples.append(
+            global_sample  # sample of the epoch that COMPLETED the bit
+        )
+        sf = self.frames.feed(bit)
+        if sf is not None:
+            self.subframe_count += 1
+            bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
+            # subframe started at HOW TOW minus one subframe duration
+            self.anchor = TimeAnchor(
+                epoch=bit_epoch,
+                global_sample=self._global_sample_of_bit(sf.first_bit_index),
+                tow_s=sf.tow_s - 6.0,
+            )
+        return sf
+
+    def _global_sample_of_bit(self, bit_index: int) -> int:
+        # _bit_samples[k] is the completing epoch of bit k; its start was
+        # 19 epochs earlier, but we anchor on epoch indices instead: use
+        # the recorded epoch of the bit start via bit_epochs + spacing.
+        k = min(bit_index, len(self._bit_samples) - 1)
+        return self._bit_samples[k]
+
+    def transmit_time_at(self, epoch: int) -> Optional[float]:
+        """GPS transmit time (s of week) of the given epoch's code start."""
+        if self.anchor is None:
+            return None
+        return (
+            self.anchor.tow_s
+            + (epoch - self.anchor.epoch) * self.code_period_s
+        )
+
+
+class NavProcessor:
+    """All channels' nav chains + ephemeris store + PVT."""
+
+    def __init__(self, fs_hz: float, code_period_s: float = 1e-3):
+        self.fs = fs_hz
+        self.code_period_s = code_period_s
+        self.channels: dict[int, ChannelNav] = {}
+        self.assembler = EphemerisAssembler()
+        self.ephemerides: dict[int, Ephemeris] = {}
+        # per channel: latest (epoch, global_sample) seen, for PVT
+        self.latest: dict[int, tuple[int, int]] = {}
+
+    def open_channel(self, channel: int, prn: int) -> None:
+        self.channels[channel] = ChannelNav(prn, self.code_period_s)
+
+    def close_channel(self, channel: int) -> None:
+        self.channels.pop(channel, None)
+
+    def feed_block(self, telem, window_global_start: int) -> None:
+        processed = np.asarray(telem.processed)
+        i_p = np.asarray(telem.i_p)
+        epochs = np.asarray(telem.epoch_index)
+        offsets = np.asarray(telem.start_offset)
+        for ch, nav in self.channels.items():
+            rows = np.where(processed[:, ch])[0]
+            for t in rows:
+                e = int(epochs[t, ch])
+                g = window_global_start + int(offsets[t, ch])
+                sf = nav.feed_epoch(float(i_p[t, ch]), e, g)
+                self.latest[ch] = (e, g)
+                if sf is not None:
+                    eph = self.assembler.feed(nav.prn, sf)
+                    if eph is not None:
+                        self.ephemerides[nav.prn] = eph
+
+    def status(self) -> dict:
+        return {
+            ch: {
+                "prn": nav.prn,
+                "bit_synced": nav.bit_sync.synced,
+                "frame_locked": nav.frames.frame_locked,
+                "subframes": nav.subframe_count,
+                "tow_anchor_s": nav.anchor.tow_s if nav.anchor else None,
+                "ephemeris": nav.prn in self.ephemerides,
+            }
+            for ch, nav in self.channels.items()
+        }
+
+    def compute_pvt(self) -> Optional[PvtSolution]:
+        """Single-point solution at the latest common receiver epoch."""
+        usable = []
+        for ch, nav in self.channels.items():
+            if nav.anchor is None or nav.prn not in self.ephemerides:
+                continue
+            if ch not in self.latest:
+                continue
+            usable.append((ch, nav))
+        if len(usable) < 4:
+            return None
+        # common receiver reference: earliest of the channels' latest
+        # samples (all channels have reached it)
+        g_ref = min(self.latest[ch][1] for ch, _ in usable)
+        prs, ephs, txs = [], [], []
+        for ch, nav in usable:
+            e, g = self.latest[ch]
+            # transmit time at receiver sample g_ref: epoch start tx time
+            # plus the receiver-time offset back to g_ref
+            t_epoch = nav.transmit_time_at(e)
+            t_tx = t_epoch + (g_ref - g) / self.fs
+            txs.append(t_tx)
+            ephs.append(self.ephemerides[nav.prn])
+        t0 = max(txs) + 0.068  # nominal common reception time
+        for t_tx in txs:
+            prs.append((t0 - t_tx) * C.SPEED_OF_LIGHT_M_S)
+        return solve_pvt(prs, ephs, txs)

@@ -28,6 +28,7 @@ from ..models.constellation import get_signal
 from ..utils.telemetry import TelemetryLog
 from . import tracking as trk
 from .acquisition import AcquisitionEngine, SearchScheduler
+from .navproc import NavProcessor
 from .stream import SampleSource, StreamWindow
 
 
@@ -76,6 +77,7 @@ class Receiver:
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
         self.scheduler = SearchScheduler(cfg.acq)
         self.telemetry = TelemetryLog(cfg.track.n_channels)
+        self.nav = NavProcessor(self.fs, self.spec.code_period_s)
         self.active: dict[int, int] = {}   # prn -> channel
         self.time_ms = 0.0
         self.acq_events: list = []
@@ -103,6 +105,7 @@ class Receiver:
             )
             self.active[cand.prn] = ch
             self.telemetry.open_channel(ch, cand.prn)
+            self.nav.open_channel(ch, cand.prn)
             self.acq_events.append((self.time_ms, cand))
 
     # ------------------------------------------------------------------
@@ -159,6 +162,8 @@ class Receiver:
         )
 
         self.telemetry.append_block(telem, self.window.global_start)
+        if self.cfg.pvt.enable:
+            self.nav.feed_block(telem, self.window.global_start)
 
         # lifecycle: channels lost during this block free their PRN
         lost = np.asarray(telem.lost_event).any(axis=0)
@@ -167,6 +172,7 @@ class Receiver:
                 if lost[ch]:
                     del self.active[prn]
                     self.telemetry.close_channel(ch)
+                    self.nav.close_channel(ch)
 
         self.state = trk.rebase(self.state, self.block)
         return True
@@ -178,12 +184,19 @@ class Receiver:
             blocks += 1
         return self.summary()
 
+    def compute_pvt(self):
+        """Single-point PVT from decoded ephemerides + code timing
+        (None until >=4 channels hold ephemeris + TOW)."""
+        return self.nav.compute_pvt()
+
     def summary(self) -> dict:
         traces = self.telemetry.all_traces()
         return {
             "blocks": self.window.blocks_fed,
             "time_ms": self.time_ms,
             "tracked_prns": sorted(self.active),
+            "nav": self.nav.status(),
+            "ephemerides": sorted(self.nav.ephemerides),
             "channels": [
                 {
                     "prn": t.prn,
