@@ -71,6 +71,11 @@ class AcqConfig:
     # reference acquisition_bk.rs:215-302)
     fine_doppler: bool = True
     fine_doppler_zero_pad: int = 8
+    # FDMA (GLONASS): satellites share one code and are separated by
+    # carrier channel k * spacing; acquisition searches each channel's
+    # sub-grid and reports pseudo-PRN = channel index + 1
+    fdma_spacing_hz: float = 0.0
+    fdma_channels: tuple[int, ...] = ()
 
     @property
     def doppler_bins(self) -> int:

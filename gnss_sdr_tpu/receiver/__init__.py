@@ -11,3 +11,5 @@ from .tracking import (  # noqa: F401
     start_channel,
     track_block,
 )
+from .multi import MultiConstellationReceiver, TeeSource  # noqa: F401
+from .navproc import ChannelNav, NavProcessor  # noqa: F401

@@ -101,15 +101,15 @@ class AcquisitionEngine:
         self.fs_hz = fs_hz
         self.f_if_hz = f_if_hz
         self.n_fft = spec.samples_per_code(fs_hz)
-        self.code_ffts = pcps.code_replica_ffts(spec, fs_hz, cfg.n_prn)
-        self.grid = (
-            pcps.doppler_grid(cfg.doppler_span_hz, cfg.doppler_step_hz)
-            + np.float32(f_if_hz)
-        )
+        n_code_rows = 1 if cfg.fdma_spacing_hz else cfg.n_prn
+        self.code_ffts = pcps.code_replica_ffts(spec, fs_hz, n_code_rows)
+        base = pcps.doppler_grid(cfg.doppler_span_hz, cfg.doppler_step_hz)
+        self._base_grid_len = base.shape[0]
+        self.grid = base + np.float32(f_if_hz)
         self.code_samples = np.stack(
             [
                 spec.sample_code(p, spec.code_rate_hz, fs_hz)
-                for p in range(1, cfg.n_prn + 1)
+                for p in range(1, n_code_rows + 1)
             ]
         ).astype(np.float32)
 
@@ -129,12 +129,41 @@ class AcquisitionEngine:
         the chunk's position inside the caller's window so candidates
         carry window-relative boundary indices (the reference's
         local_tail + code_phase, do_acquisition.rs:220).
+
+        FDMA mode (cfg.fdma_spacing_hz != 0): one search per frequency
+        channel with the grid shifted by k * spacing; detected channels
+        are reported as pseudo-PRN = channel-list index + 1 (they all
+        share code row 0).
         """
+        if self.cfg.fdma_spacing_hz:
+            out = []
+            for i, k in enumerate(self.cfg.fdma_channels):
+                shift = np.float32(k * self.cfg.fdma_spacing_hz)
+                cands = self._search_grid(
+                    samples, self.grid[:self._base_grid_len] + shift,
+                    window_offset,
+                )
+                for c in cands:
+                    c.prn = i + 1
+                    if allowed_prns is None or c.prn in allowed_prns:
+                        out.append(c)
+            out.sort(key=lambda c: -c.ratio)
+            return out
+        return self._search_grid(samples, self.grid, window_offset,
+                                 allowed_prns)
+
+    def _search_grid(
+        self,
+        samples: np.ndarray,
+        grid: np.ndarray,
+        window_offset: int,
+        allowed_prns: Optional[set[int]] = None,
+    ) -> list[Candidate]:
         n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
         res = pcps.pcps_search(
             np.ascontiguousarray(samples, dtype=np.complex64),
             self.code_ffts,
-            self.grid,
+            np.ascontiguousarray(grid, dtype=np.float32),
             fs_hz=self.fs_hz,
             n_int=n_int,
             threshold=self.cfg.detection_threshold,
