@@ -98,6 +98,11 @@ class TrackConfig:
     dll_gain: float = 1.0
     integration_s: float = 0.001         # PLL_SUM_CARR / DLL_SUM_CODE
     early_late_chips: float = 0.5
+    # correlator implementation: "shift" = single-gather fast path with
+    # E/L spacing quantized to an integer sample shift (error < 1e-5
+    # chip at practical rates); "exact" = three-gather reference-exact
+    # floor(cp +/- spacing) lookups (reference do_tracking.rs:251-263)
+    correlator: str = "shift"
     # static epoch window margin in samples beyond nominal samples/code
     window_margin: int = 8
 

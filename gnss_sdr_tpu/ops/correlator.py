@@ -93,6 +93,63 @@ def epl_correlate_one(
     )
 
 
+def epl_correlate_one_shift(
+    re: jax.Array,            # [W] f32 window samples (I)
+    im: jax.Array,            # [W] f32 window samples (Q)
+    n_valid: jax.Array,       # i32 scalar
+    carr_acc: jax.Array,      # u32 scalar
+    carr_step: jax.Array,     # u32 scalar
+    chip_int: jax.Array,      # i32 scalar
+    chip_frac: jax.Array,     # f32 scalar
+    chips_per_sample: jax.Array,  # f32 scalar
+    code: jax.Array,          # [L * oversample] f32
+    *,
+    shift: int,
+    oversample: int = 1,
+) -> EplSums:
+    """Single-gather E/P/L correlator (fast path).
+
+    Because the chip index is a monotone ramp, the early replica equals
+    the prompt replica advanced by ``shift`` samples, where
+    shift = round(el_space / chips_per_sample); the realized spacing is
+    shift * chips_per_sample chips (error < 1e-5 chip at practical
+    rates). The chip ramp is arithmetic, so extending it by ``shift`` on
+    each side costs nothing, and ONE [W+2s] gather + three static
+    slices replace the exact path's three [W] gathers — the dominant
+    memory op of the tracking hot loop.
+    """
+    w = re.shape[0]
+    n_code = code.shape[0]
+
+    # chip ramp over [-shift, W+shift): index j maps to epoch sample
+    # i = j - shift
+    j_f = jnp.arange(w + 2 * shift, dtype=jnp.float32) - jnp.float32(shift)
+    cp = chip_frac + j_f * chips_per_sample
+    idx = chip_int * oversample + jnp.floor(
+        cp * jnp.float32(oversample)
+    ).astype(jnp.int32)
+    chips = code[jnp.mod(idx, n_code)]          # [W+2s], ONE gather
+
+    mask = jnp.arange(w, dtype=jnp.int32) < n_valid
+    phase = carr_acc + jnp.arange(w, dtype=jnp.uint32) * carr_step
+    wre, wim = nco.mix_down(re, im, phase)
+    wre = jnp.where(mask, wre, 0.0)
+    wim = jnp.where(mask, wim, 0.0)
+
+    prompt = chips[shift:shift + w]
+    early = chips[2 * shift:2 * shift + w]
+    late = chips[0:w]
+
+    return EplSums(
+        i_e=jnp.dot(wre, early),
+        q_e=jnp.dot(wim, early),
+        i_p=jnp.dot(wre, prompt),
+        q_p=jnp.dot(wim, prompt),
+        i_l=jnp.dot(wre, late),
+        q_l=jnp.dot(wim, late),
+    )
+
+
 # Batched over channels: windows [C, W], code rows [C, L*os], scalars [C].
 epl_correlate = jax.vmap(
     epl_correlate_one,

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from ..config import TrackConfig
 from ..models.constellation import SignalSpec
 from ..ops import nco
-from ..ops.correlator import epl_correlate_one
+from ..ops.correlator import epl_correlate_one, epl_correlate_one_shift
 
 _U32_SCALE = 4294967296.0
 
@@ -119,6 +119,8 @@ class TrackParams:
     dll_tau1: float
     dll_tau2: float
     dt: float
+    correlator: str = "shift"
+    el_shift: int = 1
 
     @classmethod
     def create(cls, cfg: TrackConfig, spec: SignalSpec, fs_hz: float) -> "TrackParams":
@@ -143,6 +145,11 @@ class TrackParams:
             dll_tau1=dll_tau1,
             dll_tau2=dll_tau2,
             dt=cfg.integration_s * spec.code_period_ms,
+            correlator=cfg.correlator,
+            el_shift=max(
+                1,
+                int(round(cfg.early_late_chips * fs_hz / spec.code_rate_hz)),
+            ),
         )
 
     @property
@@ -261,11 +268,16 @@ def epoch_step(
         1.0 / _U32_SCALE
     )
 
-    sums = jax.vmap(
-        functools.partial(
+    if p.correlator == "shift":
+        corr_fn = functools.partial(
+            epl_correlate_one_shift, shift=p.el_shift,
+            oversample=p.oversample,
+        )
+    else:
+        corr_fn = functools.partial(
             epl_correlate_one, el_space=p.el_space, oversample=p.oversample
         )
-    )(
+    sums = jax.vmap(corr_fn)(
         win_re, win_im, n_t, state.carr_acc, carr_step,
         state.chip_int, chip_frac_f, chips_per_sample, codes,
     )

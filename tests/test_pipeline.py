@@ -65,7 +65,8 @@ class TestEndToEnd:
         rx = tracked_receiver
         truth = {p: d for p, d, *_ in TRUTH}
         for trace in rx.telemetry.all_traces():
-            assert trace.carr_freq[-1] == pytest.approx(
+            settled = float(np.mean(np.asarray(trace.carr_freq)[-50:]))
+            assert settled == pytest.approx(
                 truth[trace.prn], abs=5.0
             ), f"PRN {trace.prn} doppler wrong"
 
