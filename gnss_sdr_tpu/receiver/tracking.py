@@ -43,6 +43,7 @@ from ..config import TrackConfig
 from ..models.constellation import SignalSpec
 from ..ops import nco
 from ..ops.correlator import epl_correlate_one, epl_correlate_one_shift
+from ..ops.pallas.epl_correlator import epl_correlate_pallas
 
 _U32_SCALE = 4294967296.0
 
@@ -268,19 +269,31 @@ def epoch_step(
         1.0 / _U32_SCALE
     )
 
-    if p.correlator == "shift":
-        corr_fn = functools.partial(
-            epl_correlate_one_shift, shift=p.el_shift,
-            oversample=p.oversample,
+    if p.correlator == "pallas":
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        sums = epl_correlate_pallas(
+            win_re, win_im, n_t, state.carr_acc, carr_step,
+            state.chip_int, chip_frac_f, chips_per_sample, codes,
+            shift=p.el_shift, oversample=p.oversample,
+            interpret=not on_tpu,
         )
     else:
-        corr_fn = functools.partial(
-            epl_correlate_one, el_space=p.el_space, oversample=p.oversample
+        if p.correlator == "shift":
+            corr_fn = functools.partial(
+                epl_correlate_one_shift, shift=p.el_shift,
+                oversample=p.oversample,
+            )
+        else:
+            corr_fn = functools.partial(
+                epl_correlate_one, el_space=p.el_space,
+                oversample=p.oversample,
+            )
+        sums = jax.vmap(corr_fn)(
+            win_re, win_im, n_t, state.carr_acc, carr_step,
+            state.chip_int, chip_frac_f, chips_per_sample, codes,
         )
-    sums = jax.vmap(corr_fn)(
-        win_re, win_im, n_t, state.carr_acc, carr_step,
-        state.chip_int, chip_frac_f, chips_per_sample, codes,
-    )
 
     power = sums.i_p * sums.i_p + sums.q_p * sums.q_p
     locked = power > jnp.float32(p.lock_threshold)
