@@ -1,0 +1,95 @@
+"""Observability subsystem tests: PSD math, plots render, stage timers
+(reference parity: test_utilities.rs PSD + view.rs NavigationView +
+SURVEY.md section 5 tracing requirement)."""
+import os
+
+import numpy as np
+
+from gnss_sdr_tpu.models import SatelliteScenario, synthesize
+from gnss_sdr_tpu.utils import (
+    StageTimer,
+    acquisition_heatmap,
+    plot_psd,
+    plot_receiver_state,
+    power_spectrum,
+)
+
+
+class TestPowerSpectrum:
+    def test_tone_peak_location(self):
+        fs, f0 = 1_000_000.0, 123_000.0
+        t = np.arange(65536) / fs
+        x = np.exp(2j * np.pi * f0 * t).astype(np.complex64)
+        freqs, psd = power_spectrum(x, fs, nfft=8192)
+        assert freqs[np.argmax(psd)] == np.float64(
+            freqs[np.argmin(np.abs(freqs - f0))]
+        )
+
+    def test_real_input_one_sided(self):
+        fs = 1e6
+        x = np.random.default_rng(0).standard_normal(32768).astype(np.float32)
+        freqs, psd = power_spectrum(x, fs)
+        assert freqs[0] == 0.0 and freqs[-1] <= fs / 2
+
+    def test_noise_floor_flat(self):
+        fs = 1e6
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(262144) + 1j * rng.standard_normal(262144))
+        freqs, psd = power_spectrum(x.astype(np.complex64), fs)
+        assert np.std(psd) < 2.0  # dB ripple on averaged noise
+
+
+class TestPlots:
+    def test_psd_plot_renders(self, tmp_path):
+        x = synthesize([SatelliteScenario(prn=1)], 65536, 2_048_000.0,
+                       noise_std=1.0)
+        p = tmp_path / "psd.png"
+        plot_psd(x, 2_048_000.0, str(p))
+        assert p.exists() and p.stat().st_size > 10_000
+
+    def test_receiver_dashboard_renders(self, tmp_path):
+        from gnss_sdr_tpu.config import ReceiverConfig, RfConfig, TrackConfig
+        from gnss_sdr_tpu.receiver import ArraySource, Receiver
+
+        fs = 2_048_000.0
+        sig = synthesize(
+            [SatelliteScenario(prn=21, doppler_hz=800.0, amplitude=0.3)],
+            int(0.2 * fs), fs, noise_std=1.0, seed=3,
+        )
+        rx = Receiver(
+            ReceiverConfig(rf=RfConfig(freq_if_hz=0.0,
+                                       output_sample_rate_hz=fs),
+                           track=TrackConfig(n_channels=2), block_ms=20),
+            ArraySource(sig, fs),
+        )
+        rx.run()
+        p = tmp_path / "dash.png"
+        plot_receiver_state(rx, str(p))
+        assert p.exists() and p.stat().st_size > 10_000
+
+    def test_acquisition_heatmap_renders(self, tmp_path):
+        power = np.random.default_rng(0).random((29, 2048)).astype(np.float32)
+        p = tmp_path / "acq.png"
+        acquisition_heatmap(power, np.linspace(-7000, 7000, 29),
+                            2_048_000.0, str(p))
+        assert p.exists()
+
+
+class TestStageTimer:
+    def test_accumulates(self):
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("track", items=1000.0):
+                pass
+        rep = t.report()
+        assert rep["track"]["calls"] == 3
+        assert t.stats["track"].items == 3000.0
+
+    def test_realtime_factor(self):
+        import time
+
+        t = StageTimer()
+        with t.stage("track", items=2_000_000.0):
+            time.sleep(0.05)
+        rtf = t.realtime_factor("track", 2_000_000.0)
+        assert 1.0 < rtf < 25.0
