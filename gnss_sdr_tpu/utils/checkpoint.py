@@ -16,17 +16,17 @@ position; multiply by the front-end decimation for raw-stream seeks).
 from __future__ import annotations
 
 import pickle
-from typing import Any
+from typing import TYPE_CHECKING, Any
 
 import numpy as np
 
-from ..receiver import tracking as trk
-from ..receiver.pipeline import Receiver
+if TYPE_CHECKING:  # deferred: utils must stay importable from receiver
+    from ..receiver.pipeline import Receiver
 
 FORMAT_VERSION = 1
 
 
-def receiver_state(rx: Receiver) -> dict[str, Any]:
+def receiver_state(rx: "Receiver") -> dict[str, Any]:
     """Snapshot everything needed to resume ``rx`` (host-side pytree)."""
     return {
         "version": FORMAT_VERSION,
@@ -54,14 +54,16 @@ def receiver_state(rx: Receiver) -> dict[str, Any]:
     }
 
 
-def save(rx: Receiver, path: str) -> None:
+def save(rx: "Receiver", path: str) -> None:
     with open(path, "wb") as f:
         pickle.dump(receiver_state(rx), f)
 
 
-def restore(rx: Receiver, path: str) -> Receiver:
+def restore(rx: "Receiver", path: str) -> "Receiver":
     """Load a checkpoint into a freshly constructed Receiver (same
     config; source positioned by the caller). Returns ``rx``."""
+    from ..receiver import tracking as trk
+
     with open(path, "rb") as f:
         snap = pickle.load(f)
     if snap["version"] != FORMAT_VERSION:
@@ -83,7 +85,7 @@ def restore(rx: Receiver, path: str) -> Receiver:
     return rx
 
 
-def consumed_samples(rx: Receiver) -> int:
+def consumed_samples(rx: "Receiver") -> int:
     """Output-rate samples the receiver has consumed from its source
     (multiply by the decimation factor for raw input samples)."""
     return rx.window.blocks_fed * rx.window.b
