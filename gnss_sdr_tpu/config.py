@@ -59,7 +59,16 @@ class AcqConfig:
     doppler_step_hz: float = 500.0
     n_prn: int = 32
     non_coherent_ms: int = 10            # LONG_SAMPLES_LENGTH
+    # detector: "peak_avg" = peak/avg > detection_threshold (reference
+    # do_acquisition.rs:229-238); "two_peak" = first/second peak ratio
+    # with +/-1 chip exclusion (legacy acquisition_bk.rs:342-399);
+    # "cfar" = peak > cfar_scale * mean (legacy CA-CFAR,
+    # acquisition_bk.rs:306-340, scale 2*invgammp(0.8,2) ~ 5.99)
+    detector: str = "peak_avg"
     detection_threshold: float = 7.0     # peak/avg test
+    two_peak_threshold: float = 1.4
+    two_peak_exclusion_chips: float = 1.0
+    cfar_scale: float = 5.988
     # adaptive search pacing: (interval_ms, prns_per_round) per mode
     # (reference do_acquisition.rs:58-73)
     cold_pacing: tuple[int, int] = (500, 32)
@@ -88,7 +97,13 @@ class TrackConfig:
 
     signal: str = "gps_l1ca"
     n_channels: int = 15
+    # lock detector: "power" = absolute prompt power > lock_threshold
+    # (reference semantics, do_tracking.rs:16,186-188 — input-scale
+    # dependent); "costas" = scale-invariant normalized detector
+    # (I^2-Q^2)/(I^2+Q^2) > costas_lock_threshold
+    lock_mode: str = "power"
     lock_threshold: float = 15.0
+    costas_lock_threshold: float = 0.4
     max_lost_epochs: int = 20
     pll_bandwidth_hz: float = 25.0
     pll_damping: float = 0.7
@@ -103,6 +118,10 @@ class TrackConfig:
     # chip at practical rates); "exact" = three-gather reference-exact
     # floor(cp +/- spacing) lookups (reference do_tracking.rs:251-263)
     correlator: str = "shift"
+    # carrier-aided code tracking: steer the code rate by the measured
+    # carrier Doppler scaled by code_rate/carrier_freq (absent from the
+    # reference; standard receiver practice)
+    carrier_aiding: bool = False
     # static epoch window margin in samples beyond nominal samples/code
     window_margin: int = 8
 
@@ -115,6 +134,7 @@ class PvtConfig:
     min_satellites: int = 4
     max_iterations: int = 10
     elevation_mask_deg: float = 5.0
+    max_gdop: float = 20.0               # reject degenerate geometries
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,6 +33,18 @@ class SatelliteScenario:
     amplitude: float = 1.0
     nav_bits: Optional[np.ndarray] = None  # +/-1 per bit period
     signal: SignalSpec = GPS_L1CA
+    # chip-rate offset (code Doppler); physical scenes use
+    # doppler_hz * code_rate / carrier_freq
+    code_rate_offset_hz: float = 0.0
+
+    def with_code_doppler(self) -> "SatelliteScenario":
+        """Return a copy whose code rate is Doppler-scaled consistently
+        with the carrier (real-satellite kinematics)."""
+        return dataclasses.replace(
+            self,
+            code_rate_offset_hz=self.doppler_hz
+            * self.signal.code_rate_hz / self.signal.carrier_freq_hz,
+        )
 
 
 def synthesize(
@@ -56,7 +68,8 @@ def synthesize(
     out = np.zeros(n_samples, dtype=np.complex128)
     for sat in sats:
         spec = sat.signal
-        chip_phase = sat.code_phase_chips + spec.code_rate_hz / fs_hz * i
+        rate = spec.code_rate_hz + sat.code_rate_offset_hz
+        chip_phase = sat.code_phase_chips + rate / fs_hz * i
         chip_idx = np.floor(chip_phase).astype(np.int64)
         code = spec.code_table()[sat.prn - 1]
         chips = code[chip_idx % spec.code_length_chips].astype(np.float64)

@@ -111,9 +111,19 @@ def detect(
     carrier_freqs: jax.Array,  # [D]
     threshold: float,
     return_power: bool = False,
+    mode: str = "peak_avg",
+    exclusion_samples: int = 0,
 ) -> AcqResults:
-    """Peak/avg detector over the power cube (reference semantics,
-    do_acquisition.rs:195-238)."""
+    """Detector over the power cube. Modes:
+
+    * ``peak_avg`` — peak / average (peak excluded) > threshold
+      (reference do_acquisition.rs:229-238)
+    * ``two_peak`` — first / second peak with a +/-``exclusion_samples``
+      circular guard band around the first (legacy reference,
+      acquisition_bk.rs:342-399, threshold 1.4)
+    * ``cfar`` — peak > threshold * mean (legacy CA-CFAR,
+      acquisition_bk.rs:306-340, threshold 2*invgammp(0.8,2) ~ 5.99)
+    """
     n_fft = power.shape[-1]
     peak_per_bin = power.max(axis=-1)                       # [P, D]
     best_bin = jnp.argmax(peak_per_bin, axis=-1)            # [P]
@@ -122,8 +132,21 @@ def detect(
     )[:, 0, :]                                              # [P, N]
     code_phase = jnp.argmax(bin_power, axis=-1).astype(jnp.int32)
     peak = jnp.max(bin_power, axis=-1)
-    avg = (jnp.sum(bin_power, axis=-1) - peak) / jnp.float32(n_fft - 1)
-    ratio = peak / jnp.maximum(avg, jnp.float32(1e-20))
+    if mode == "two_peak":
+        lag = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+        dist = jnp.abs(lag - code_phase[:, None])
+        dist = jnp.minimum(dist, n_fft - dist)              # circular
+        masked = jnp.where(
+            dist <= exclusion_samples, -jnp.inf, bin_power
+        )
+        second = jnp.max(masked, axis=-1)
+        ratio = peak / jnp.maximum(second, jnp.float32(1e-20))
+    elif mode == "cfar":
+        mean = jnp.mean(bin_power, axis=-1)
+        ratio = peak / jnp.maximum(mean, jnp.float32(1e-20))
+    else:
+        avg = (jnp.sum(bin_power, axis=-1) - peak) / jnp.float32(n_fft - 1)
+        ratio = peak / jnp.maximum(avg, jnp.float32(1e-20))
 
     return AcqResults(
         detected=ratio > jnp.float32(threshold),
@@ -137,7 +160,10 @@ def detect(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs_hz", "n_int", "threshold", "return_power"),
+    static_argnames=(
+        "fs_hz", "n_int", "threshold", "return_power", "mode",
+        "exclusion_samples",
+    ),
 )
 def pcps_search(
     samples: jax.Array,        # [n_int * N] complex64, raw conditioned IQ
@@ -148,6 +174,8 @@ def pcps_search(
     n_int: int,
     threshold: float = 7.0,
     return_power: bool = False,
+    mode: str = "peak_avg",
+    exclusion_samples: int = 0,
 ) -> AcqResults:
     """Search all PRNs over all Doppler bins in one shot."""
     n_fft = code_ffts.shape[-1]
@@ -158,7 +186,10 @@ def pcps_search(
     power = pcps_power(
         samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int
     )
-    return detect(power, carrier_freqs, threshold, return_power)
+    return detect(
+        power, carrier_freqs, threshold, return_power,
+        mode=mode, exclusion_samples=exclusion_samples,
+    )
 
 
 @functools.partial(

@@ -160,13 +160,26 @@ class AcquisitionEngine:
         allowed_prns: Optional[set[int]] = None,
     ) -> list[Candidate]:
         n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
+        cfg = self.cfg
+        if cfg.detector == "two_peak":
+            threshold = cfg.two_peak_threshold
+            excl = int(round(
+                cfg.two_peak_exclusion_chips * self.fs_hz
+                / self.spec.code_rate_hz
+            ))
+        elif cfg.detector == "cfar":
+            threshold, excl = cfg.cfar_scale, 0
+        else:
+            threshold, excl = cfg.detection_threshold, 0
         res = pcps.pcps_search(
             np.ascontiguousarray(samples, dtype=np.complex64),
             self.code_ffts,
             np.ascontiguousarray(grid, dtype=np.float32),
             fs_hz=self.fs_hz,
             n_int=n_int,
-            threshold=self.cfg.detection_threshold,
+            threshold=threshold,
+            mode=cfg.detector,
+            exclusion_samples=excl,
         )
         detected = np.asarray(res.detected)
         if not detected.any():

@@ -70,7 +70,9 @@ class Receiver:
         # stay addressable behind the frontier
         self.history = acq_len + 2 * n0
 
-        self.params = trk.TrackParams.create(cfg.track, self.spec, self.fs)
+        self.params = trk.TrackParams.create(
+            cfg.track, self.spec, self.fs, if_freq_hz=self.f_if
+        )
         self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
         self.state = trk.init_state(cfg.track.n_channels)
         self.window = StreamWindow(self.history, self.block)
@@ -185,9 +187,14 @@ class Receiver:
         return self.summary()
 
     def compute_pvt(self):
-        """Single-point PVT from decoded ephemerides + code timing
-        (None until >=4 channels hold ephemeris + TOW)."""
-        return self.nav.compute_pvt()
+        """Single-point PVT from decoded ephemerides + code timing.
+
+        None until >=4 channels hold ephemeris + TOW, or when the
+        geometry exceeds the configured GDOP gate."""
+        sol = self.nav.compute_pvt()
+        if sol is not None and sol.gdop > self.cfg.pvt.max_gdop:
+            return None
+        return sol
 
     def summary(self) -> dict:
         traces = self.telemetry.all_traces()

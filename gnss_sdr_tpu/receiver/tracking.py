@@ -69,6 +69,7 @@ class ChannelState(NamedTuple):
     chip_int: jax.Array      # i32 integer chip index in [0, L)
     chip_frac_u32: jax.Array  # u32 fractional chip (chip fraction)
     code_err: jax.Array      # f32, previous DLL discriminator
+    lock_ema: jax.Array      # f32, smoothed Costas lock metric
 
 
 class EpochTelemetry(NamedTuple):
@@ -122,9 +123,15 @@ class TrackParams:
     dt: float
     correlator: str = "shift"
     el_shift: int = 1
+    lock_mode: str = "power"
+    costas_lock_threshold: float = 0.4
+    carrier_aiding: bool = False
+    aiding_scale: float = 0.0     # code_rate / RF carrier frequency
+    if_freq_hz: float = 0.0       # IF carried in carr_freq (aiding ref)
 
     @classmethod
-    def create(cls, cfg: TrackConfig, spec: SignalSpec, fs_hz: float) -> "TrackParams":
+    def create(cls, cfg: TrackConfig, spec: SignalSpec, fs_hz: float,
+               if_freq_hz: float = 0.0) -> "TrackParams":
         pll_tau1, pll_tau2 = _loop_filter_taus(
             cfg.pll_bandwidth_hz, cfg.pll_damping, cfg.pll_gain
         )
@@ -151,6 +158,11 @@ class TrackParams:
                 1,
                 int(round(cfg.early_late_chips * fs_hz / spec.code_rate_hz)),
             ),
+            lock_mode=cfg.lock_mode,
+            costas_lock_threshold=cfg.costas_lock_threshold,
+            carrier_aiding=cfg.carrier_aiding,
+            aiding_scale=spec.code_rate_hz / spec.carrier_freq_hz,
+            if_freq_hz=if_freq_hz,
         )
 
     @property
@@ -189,6 +201,7 @@ def init_state(n_channels: int) -> ChannelState:
         offset=z_i, epochs=z_i, lost_count=z_i,
         carr_freq=z_f, carr_acc=z_u, carr_err=z_f,
         code_rate=z_f, chip_int=z_i, chip_frac_u32=z_u, code_err=z_f,
+        lock_ema=z_f,
     )
 
 
@@ -217,6 +230,8 @@ def start_channel(
         chip_int=state.chip_int.at[c].set(0),
         chip_frac_u32=state.chip_frac_u32.at[c].set(0),
         code_err=state.code_err.at[c].set(0.0),
+        # handoff grace: assume locked until the EMA says otherwise
+        lock_ema=state.lock_ema.at[c].set(1.0),
     )
 
 
@@ -237,11 +252,19 @@ def epoch_step(
     )
     fs = jnp.float32(p.fs_hz)
 
+    # carrier-aided effective code rate: Doppler scales chip rate by
+    # code_rate/carrier (standard practice; absent from the reference)
+    if p.carrier_aiding:
+        doppler = state.carr_freq - jnp.float32(p.if_freq_hz)
+        code_rate_eff = state.code_rate + doppler * jnp.float32(p.aiding_scale)
+    else:
+        code_rate_eff = state.code_rate
+
     # true epoch length from current code rate
     # (reference do_tracking.rs:192-193)
     n_t = jnp.round(
         fs * jnp.float32(p.code_length)
-        / jnp.maximum(state.code_rate, 1.0)
+        / jnp.maximum(code_rate_eff, 1.0)
     ).astype(jnp.int32)
     # the FULL static window must fit (not just n_t samples): a clipped
     # dynamic_slice would silently misalign the window against the
@@ -264,7 +287,7 @@ def epoch_step(
     win_re, win_im = jax.vmap(slice_one)(start)
 
     carr_step = nco.freq_to_step(state.carr_freq, p.fs_hz)
-    chips_per_sample = state.code_rate / fs
+    chips_per_sample = code_rate_eff / fs
     chip_frac_f = state.chip_frac_u32.astype(jnp.float32) * jnp.float32(
         1.0 / _U32_SCALE
     )
@@ -296,7 +319,21 @@ def epoch_step(
         )
 
     power = sums.i_p * sums.i_p + sums.q_p * sums.q_p
-    locked = power > jnp.float32(p.lock_threshold)
+    if p.lock_mode == "costas":
+        # scale-invariant normalized lock metric (I^2-Q^2)/(I^2+Q^2),
+        # EMA-smoothed: instantaneous values on noise are ~uniform in
+        # [-1,1] and would flicker past any threshold
+        nbd = sums.i_p * sums.i_p - sums.q_p * sums.q_p
+        metric = nbd / jnp.maximum(power, 1e-12)
+        alpha = jnp.float32(0.1)
+        new_lock_ema = jnp.where(
+            can, (1.0 - alpha) * state.lock_ema + alpha * metric,
+            state.lock_ema,
+        )
+        locked = new_lock_ema > jnp.float32(p.costas_lock_threshold)
+    else:
+        new_lock_ema = state.lock_ema
+        locked = power > jnp.float32(p.lock_threshold)
 
     # ---- PLL (Costas atan discriminator, reference do_tracking.rs:280-286)
     safe_ip = jnp.where(jnp.abs(sums.i_p) < 1e-12, 1e-12, sums.i_p)
@@ -327,7 +364,7 @@ def epoch_step(
 
     # ---- exact phase advance over n_t samples (every processed epoch)
     new_carr_acc = nco.advance(state.carr_acc, carr_step, n_t)
-    code_step_u32 = nco.freq_to_step(state.code_rate, p.fs_hz)  # frac chips
+    code_step_u32 = nco.freq_to_step(code_rate_eff, p.fs_hz)  # frac chips
     new_frac_u32 = state.chip_frac_u32 + n_t.astype(jnp.uint32) * code_step_u32
     new_frac_f = new_frac_u32.astype(jnp.float32) * jnp.float32(1.0 / _U32_SCALE)
     est_total = chip_frac_f + n_t.astype(jnp.float32) * chips_per_sample
@@ -357,6 +394,7 @@ def epoch_step(
         chip_int=jnp.where(can, new_chip_int, state.chip_int),
         chip_frac_u32=jnp.where(can, new_frac_u32, state.chip_frac_u32),
         code_err=jnp.where(survives, new_code_err, jnp.where(lost_event, 0.0, state.code_err)),
+        lock_ema=jnp.where(lost_event, 0.0, new_lock_ema),
     )
 
     telem = EpochTelemetry(

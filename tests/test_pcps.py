@@ -133,3 +133,52 @@ class TestFineDoppler:
         refined = float(fine[8])
         assert abs(refined - true_doppler) < 30.0
         assert abs(refined - true_doppler) < abs(coarse - true_doppler)
+
+
+class TestDetectorModes:
+    """Legacy-reference detector parity (acquisition_bk.rs:306-399)."""
+
+    def _scene(self):
+        sats = [SatelliteScenario(prn=7, doppler_hz=2500.0, amplitude=0.2)]
+        x = synthesize(sats, N_INT * N, FS, noise_std=1.0, seed=0)
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, FS, 32)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        return x, code_ffts, grid
+
+    def test_two_peak(self):
+        x, cf, grid = self._scene()
+        excl = round(1.0 * FS / 1.023e6)
+        res = pcps.pcps_search(
+            x, cf, grid, fs_hz=FS, n_int=N_INT, threshold=1.4,
+            mode="two_peak", exclusion_samples=excl,
+        )
+        det = np.asarray(res.detected)
+        ratios = np.asarray(res.ratio)
+        # the legacy two-peak detector at threshold 1.4 admits isolated
+        # cross-correlation peaks (false alarms) — faithful legacy
+        # behavior; the true satellite must dominate decisively
+        assert det[6]
+        assert np.argmax(ratios) == 6
+        assert ratios[6] > 2.0 * np.partition(ratios, -2)[-2]
+
+    def test_cfar(self):
+        x, cf, grid = self._scene()
+        res = pcps.pcps_search(
+            x, cf, grid, fs_hz=FS, n_int=N_INT, threshold=5.988,
+            mode="cfar",
+        )
+        det = np.asarray(res.detected)
+        assert det[6] and det.sum() == 1
+
+    def test_engine_wires_detector(self):
+        from gnss_sdr_tpu.config import AcqConfig
+        from gnss_sdr_tpu.models import GPS_L1CA as spec
+        from gnss_sdr_tpu.receiver.acquisition import AcquisitionEngine
+
+        x, _, _ = self._scene()
+        eng = AcquisitionEngine(
+            AcqConfig(detector="two_peak"), spec, FS, 0.0
+        )
+        cands = eng.search(np.asarray(x))
+        # candidates sort by ratio: the true satellite ranks first
+        assert cands[0].prn == 7
