@@ -297,3 +297,36 @@ class TestPvt:
         assert prs[1] - prs[0] == pytest.approx(
             0.07 * C.SPEED_OF_LIGHT_M_S, rel=1e-9
         )
+
+
+class TestBrdcDownload:
+    def test_filename_matches_reference_bundle(self):
+        import datetime
+
+        from gnss_sdr_tpu.nav import brdc_filename, brdc_url
+
+        # the reference's bundled file is day-of-year 333 of 2023
+        day = datetime.date(2023, 11, 29)
+        assert brdc_filename(day) == "BRDC00WRD_R_20233330000_01D_GN.rnx"
+        assert brdc_url(day).endswith("/2023/333/BRDC00WRD_R_20233330000_01D_GN.rnx.gz")
+
+    def test_offline_raises_connection_error(self, tmp_path):
+        import datetime
+
+        import pytest
+
+        from gnss_sdr_tpu.nav import fetch_brdc
+
+        with pytest.raises(ConnectionError, match="local RINEX"):
+            fetch_brdc(datetime.date(2023, 11, 29), str(tmp_path),
+                       base_url="https://127.0.0.1:1/nope", timeout_s=2.0)
+
+    def test_existing_file_short_circuits(self, tmp_path):
+        import datetime
+
+        from gnss_sdr_tpu.nav import brdc_filename, fetch_brdc
+
+        day = datetime.date(2023, 11, 29)
+        existing = tmp_path / brdc_filename(day)
+        existing.write_text("cached")
+        assert fetch_brdc(day, str(tmp_path)) == str(existing)
