@@ -35,6 +35,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeated bench runs skip the 20-40 s
+    # first-compile cost
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from gnss_sdr_tpu.config import AcqConfig, TrackConfig
