@@ -27,29 +27,44 @@ from ..nav.pvt import PvtSolution, solve_pvt
 
 @dataclasses.dataclass
 class TimeAnchor:
-    """GPS-time pin: epoch index whose code-period start transmits at
-    ``tow_s`` seconds-of-week."""
+    """GPS-time pin: the anchor epoch's window-start sample carries
+    transmit time ``tow_s`` (s of week); ``chip_phase`` is the tracked
+    code phase (chips) at that sample, so later epochs' transmit times
+    follow chip-exactly:
+
+      t_tx(e) = tow_s + ((e - epoch) * L + wrap(cp_e - chip_phase)) / rate
+    """
 
     epoch: int
     global_sample: int
     tow_s: float
+    chip_phase: float = 0.0
 
 
 class ChannelNav:
     """One channel's decoding chain (reference capability:
     src/decoding.rs NavSyncStatus, properly implemented)."""
 
-    def __init__(self, prn: int, code_period_s: float = 1e-3):
+    def __init__(self, prn: int, code_period_s: float = 1e-3,
+                 code_length: int = 1023):
         self.prn = prn
         self.code_period_s = code_period_s
+        self.code_length = code_length
+        self.code_rate = code_length / code_period_s
         self.bit_sync = BitSynchronizer()
         self.frames = FrameDecoder()
         self.anchor: Optional[TimeAnchor] = None
         self.subframe_count = 0
         self._bit_samples: list[int] = []  # global_sample of each bit start
+        self._chip_hist: dict[int, float] = {}  # epoch -> chip phase
 
     def feed_epoch(self, i_prompt: float, epoch: int,
-                   global_sample: int) -> Optional[Subframe]:
+                   global_sample: int,
+                   chip_phase: float = 0.0) -> Optional[Subframe]:
+        self._chip_hist[epoch] = chip_phase
+        if len(self._chip_hist) > 8000:
+            for k in sorted(self._chip_hist)[:2000]:
+                del self._chip_hist[k]
         bit = self.bit_sync.feed(i_prompt, epoch)
         if bit is None:
             return None
@@ -60,11 +75,16 @@ class ChannelNav:
         if sf is not None:
             self.subframe_count += 1
             bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            # subframe started at HOW TOW minus one subframe duration
+            cp0 = self._chip_hist.get(bit_epoch, 0.0)
+            cp0_signed = cp0 if cp0 < self.code_length / 2 else cp0 - self.code_length
+            # the subframe's first bit starts at a code boundary whose
+            # transmit time is HOW TOW - 6 s; the anchor epoch's
+            # window-start sample sits cp0 chips past that boundary
             self.anchor = TimeAnchor(
                 epoch=bit_epoch,
                 global_sample=self._global_sample_of_bit(sf.first_bit_index),
-                tow_s=sf.tow_s - 6.0,
+                tow_s=sf.tow_s - 6.0 + cp0_signed / self.code_rate,
+                chip_phase=cp0,
             )
         return sf
 
@@ -75,30 +95,43 @@ class ChannelNav:
         k = min(bit_index, len(self._bit_samples) - 1)
         return self._bit_samples[k]
 
-    def transmit_time_at(self, epoch: int) -> Optional[float]:
-        """GPS transmit time (s of week) of the given epoch's code start."""
+    def transmit_time_at(self, epoch: int,
+                         chip_phase: Optional[float] = None) -> Optional[float]:
+        """GPS transmit time (s of week) of the given epoch's
+        window-start sample, chip-exact when ``chip_phase`` is given."""
         if self.anchor is None:
             return None
-        return (
+        base = (
             self.anchor.tow_s
             + (epoch - self.anchor.epoch) * self.code_period_s
         )
+        if chip_phase is None:
+            return base
+        # signed wrap of the chip-phase drift since the anchor
+        d = chip_phase - self.anchor.chip_phase
+        half = self.code_length / 2
+        d = (d + half) % self.code_length - half
+        return base + d / self.code_rate
 
 
 class NavProcessor:
     """All channels' nav chains + ephemeris store + PVT."""
 
-    def __init__(self, fs_hz: float, code_period_s: float = 1e-3):
+    def __init__(self, fs_hz: float, code_period_s: float = 1e-3,
+                 code_length: int = 1023):
         self.fs = fs_hz
         self.code_period_s = code_period_s
+        self.code_length = code_length
         self.channels: dict[int, ChannelNav] = {}
         self.assembler = EphemerisAssembler()
         self.ephemerides: dict[int, Ephemeris] = {}
-        # per channel: latest (epoch, global_sample) seen, for PVT
-        self.latest: dict[int, tuple[int, int]] = {}
+        # per channel: latest (epoch, global_sample, chip_phase), for PVT
+        self.latest: dict[int, tuple[int, int, float]] = {}
 
     def open_channel(self, channel: int, prn: int) -> None:
-        self.channels[channel] = ChannelNav(prn, self.code_period_s)
+        self.channels[channel] = ChannelNav(
+            prn, self.code_period_s, self.code_length
+        )
 
     def close_channel(self, channel: int) -> None:
         self.channels.pop(channel, None)
@@ -108,13 +141,15 @@ class NavProcessor:
         i_p = np.asarray(telem.i_p)
         epochs = np.asarray(telem.epoch_index)
         offsets = np.asarray(telem.start_offset)
+        chips = np.asarray(telem.chip_phase)
         for ch, nav in self.channels.items():
             rows = np.where(processed[:, ch])[0]
             for t in rows:
                 e = int(epochs[t, ch])
                 g = window_global_start + int(offsets[t, ch])
-                sf = nav.feed_epoch(float(i_p[t, ch]), e, g)
-                self.latest[ch] = (e, g)
+                cp = float(chips[t, ch])
+                sf = nav.feed_epoch(float(i_p[t, ch]), e, g, cp)
+                self.latest[ch] = (e, g, cp)
                 if sf is not None:
                     eph = self.assembler.feed(nav.prn, sf)
                     if eph is not None:
@@ -149,10 +184,10 @@ class NavProcessor:
         g_ref = min(self.latest[ch][1] for ch, _ in usable)
         prs, ephs, txs = [], [], []
         for ch, nav in usable:
-            e, g = self.latest[ch]
-            # transmit time at receiver sample g_ref: epoch start tx time
-            # plus the receiver-time offset back to g_ref
-            t_epoch = nav.transmit_time_at(e)
+            e, g, cp = self.latest[ch]
+            # chip-exact transmit time at the epoch's window start, then
+            # shift to the common receiver sample g_ref
+            t_epoch = nav.transmit_time_at(e, cp)
             t_tx = t_epoch + (g_ref - g) / self.fs
             txs.append(t_tx)
             ephs.append(self.ephemerides[nav.prn])

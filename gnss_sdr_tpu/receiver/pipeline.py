@@ -79,7 +79,9 @@ class Receiver:
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
         self.scheduler = SearchScheduler(cfg.acq)
         self.telemetry = TelemetryLog(cfg.track.n_channels)
-        self.nav = NavProcessor(self.fs, self.spec.code_period_s)
+        self.nav = NavProcessor(
+            self.fs, self.spec.code_period_s, self.spec.code_length_chips
+        )
         self.active: dict[int, int] = {}   # prn -> channel
         self.time_ms = 0.0
         self.acq_events: list = []

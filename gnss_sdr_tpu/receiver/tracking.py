@@ -96,6 +96,10 @@ class EpochTelemetry(NamedTuple):
     code_rate: jax.Array
     start_offset: jax.Array  # sample index (block-relative) of epoch start
     epoch_index: jax.Array   # channel epoch counter at epoch start
+    chip_phase: jax.Array    # f32 code phase (chips) at epoch start —
+                             # the fractional-chip observable that lifts
+                             # pseudoranges from sample-quantized (~150 m)
+                             # to tracked precision
 
 
 def _loop_filter_taus(bw: float, damping: float, gain: float) -> tuple[float, float]:
@@ -397,6 +401,9 @@ def epoch_step(
         lock_ema=jnp.where(lost_event, 0.0, new_lock_ema),
     )
 
+    chip_phase_start = (
+        state.chip_int.astype(jnp.float32) + chip_frac_f
+    )
     telem = EpochTelemetry(
         processed=can,
         i_e=sums.i_e, q_e=sums.q_e, i_p=sums.i_p, q_p=sums.q_p,
@@ -405,6 +412,7 @@ def epoch_step(
         pll_err=pll_err, dll_err=dll_err,
         carr_freq=new_state.carr_freq, code_rate=new_state.code_rate,
         start_offset=state.offset, epoch_index=state.epochs,
+        chip_phase=chip_phase_start,
     )
     return new_state, telem
 
