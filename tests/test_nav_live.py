@@ -91,7 +91,9 @@ class TestLiveNavDecode:
         ch = rx.active[truth.prn]
         anchor = rx.nav.channels[ch].anchor
         assert anchor is not None
-        # anchor tow = (HOW of last decoded subframe) - 6 s; must be a
-        # multiple of 6 near the stream's TOW range
-        assert anchor.tow_s % 6.0 == 0.0
+        # anchor tow = (HOW of last decoded subframe) - 6 s, refined by
+        # the sub-chip code phase at the anchor epoch — within half a
+        # chip (~0.5 us) of the 6 s subframe grid
+        frac = anchor.tow_s % 6.0
+        assert min(frac, 6.0 - frac) < 1e-5
         assert (tow0 - 1) * 6.0 <= anchor.tow_s <= (tow0 + 5) * 6.0
