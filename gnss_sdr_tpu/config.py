@@ -118,6 +118,9 @@ class TrackConfig:
     # chip at practical rates); "exact" = three-gather reference-exact
     # floor(cp +/- spacing) lookups (reference do_tracking.rs:251-263)
     correlator: str = "shift"
+    # linearly interpolate the code replica between chips (suppresses
+    # the sample-grid code-phase quantization bias at one extra gather)
+    interp_code: bool = False
     # carrier-aided code tracking: steer the code rate by the measured
     # carrier Doppler scaled by code_rate/carrier_freq (absent from the
     # reference; standard receiver practice)

@@ -106,6 +106,7 @@ def epl_correlate_one_shift(
     *,
     shift: int,
     oversample: int = 1,
+    interp: bool = False,
 ) -> EplSums:
     """Single-gather E/P/L correlator (fast path).
 
@@ -117,6 +118,13 @@ def epl_correlate_one_shift(
     each side costs nothing, and ONE [W+2s] gather + three static
     slices replace the exact path's three [W] gathers — the dominant
     memory op of the tracking hot loop.
+
+    ``interp=True`` samples the replica with linear interpolation
+    between adjacent chips (trapezoid transitions) instead of the
+    floor/nearest convention (reference do_tracking.rs:274-277). This
+    suppresses the sample-grid quantization bias of the code-phase
+    observable (~0.05 chip at 8 samples/chip with floor sampling) at
+    the cost of a second gather.
     """
     w = re.shape[0]
     n_code = code.shape[0]
@@ -125,10 +133,14 @@ def epl_correlate_one_shift(
     # i = j - shift
     j_f = jnp.arange(w + 2 * shift, dtype=jnp.float32) - jnp.float32(shift)
     cp = chip_frac + j_f * chips_per_sample
-    idx = chip_int * oversample + jnp.floor(
-        cp * jnp.float32(oversample)
-    ).astype(jnp.int32)
+    x = cp * jnp.float32(oversample)
+    base = jnp.floor(x)
+    idx = chip_int * oversample + base.astype(jnp.int32)
     chips = code[jnp.mod(idx, n_code)]          # [W+2s], ONE gather
+    if interp:
+        frac = x - base
+        chips_next = code[jnp.mod(idx + 1, n_code)]
+        chips = chips + frac * (chips_next - chips)
 
     mask = jnp.arange(w, dtype=jnp.int32) < n_valid
     phase = carr_acc + jnp.arange(w, dtype=jnp.uint32) * carr_step

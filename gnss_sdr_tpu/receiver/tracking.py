@@ -127,6 +127,7 @@ class TrackParams:
     dt: float
     correlator: str = "shift"
     el_shift: int = 1
+    interp_code: bool = False
     lock_mode: str = "power"
     costas_lock_threshold: float = 0.4
     carrier_aiding: bool = False
@@ -162,6 +163,7 @@ class TrackParams:
                 1,
                 int(round(cfg.early_late_chips * fs_hz / spec.code_rate_hz)),
             ),
+            interp_code=cfg.interp_code,
             lock_mode=cfg.lock_mode,
             costas_lock_threshold=cfg.costas_lock_threshold,
             carrier_aiding=cfg.carrier_aiding,
@@ -310,7 +312,7 @@ def epoch_step(
         if p.correlator == "shift":
             corr_fn = functools.partial(
                 epl_correlate_one_shift, shift=p.el_shift,
-                oversample=p.oversample,
+                oversample=p.oversample, interp=p.interp_code,
             )
         else:
             corr_fn = functools.partial(
