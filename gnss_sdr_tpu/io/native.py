@@ -86,25 +86,24 @@ def _ptr(arr: np.ndarray, ctype):
 def convert(raw: np.ndarray, wire_format: str) -> np.ndarray:
     """Wire bytes -> complex64 via the native kernels (NumPy fallback)."""
     lib = load_library()
-    if wire_format == "int8_real":
-        n = raw.size
-    elif wire_format in ("int8_iq", "uint8_iq"):
-        n = raw.size // 2
-    elif wire_format == "int16_iq":
-        n = raw.size // 2
-    else:
+    if wire_format not in _BYTES_PER_SAMPLE:
         raise ValueError(f"unknown wire format {wire_format!r}")
+    # count samples by BYTES — callers may pass uint8 wire buffers or
+    # already-typed arrays
+    raw_bytes = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+    n = raw_bytes.size // _BYTES_PER_SAMPLE[wire_format]
+    raw_bytes = raw_bytes[: n * _BYTES_PER_SAMPLE[wire_format]]
 
     if lib is None:
         if wire_format == "int8_real":
-            return raw.view(np.int8).astype(np.float32).astype(np.complex64)
+            return raw_bytes.view(np.int8).astype(np.float32).astype(np.complex64)
         if wire_format == "int8_iq":
-            f = raw.view(np.int8).astype(np.float32)
+            f = raw_bytes.view(np.int8).astype(np.float32)
             return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
         if wire_format == "uint8_iq":
-            f = raw.view(np.uint8).astype(np.float32) - 127.5
+            f = raw_bytes.astype(np.float32) - 127.5
             return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
-        f = raw.view(np.int16).astype(np.float32)
+        f = raw_bytes.view(np.int16).astype(np.float32)
         return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
     re = np.empty(n, np.float32)
@@ -112,22 +111,19 @@ def convert(raw: np.ndarray, wire_format: str) -> np.ndarray:
     c_f = ctypes.c_float
     if wire_format == "int8_real":
         lib.convert_int8_real(
-            _ptr(np.ascontiguousarray(raw.view(np.uint8)), ctypes.c_uint8),
-            _ptr(re, c_f), _ptr(im, c_f), n,
+            _ptr(raw_bytes, ctypes.c_uint8), _ptr(re, c_f), _ptr(im, c_f), n,
         )
     elif wire_format == "int8_iq":
         lib.convert_int8_iq(
-            _ptr(np.ascontiguousarray(raw.view(np.uint8)), ctypes.c_uint8),
-            _ptr(re, c_f), _ptr(im, c_f), n,
+            _ptr(raw_bytes, ctypes.c_uint8), _ptr(re, c_f), _ptr(im, c_f), n,
         )
     elif wire_format == "uint8_iq":
         lib.convert_uint8_iq(
-            _ptr(np.ascontiguousarray(raw.view(np.uint8)), ctypes.c_uint8),
-            _ptr(re, c_f), _ptr(im, c_f), n,
+            _ptr(raw_bytes, ctypes.c_uint8), _ptr(re, c_f), _ptr(im, c_f), n,
         )
     else:
         lib.convert_int16_iq(
-            _ptr(np.ascontiguousarray(raw.view(np.int16)), ctypes.c_int16),
+            _ptr(raw_bytes.view(np.int16), ctypes.c_int16),
             _ptr(re, c_f), _ptr(im, c_f), n,
         )
     return (re + 1j * im).astype(np.complex64)

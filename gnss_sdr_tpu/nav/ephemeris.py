@@ -163,17 +163,33 @@ def encode_words(eph: Ephemeris, subframe_id: int) -> np.ndarray:
 
 
 class EphemerisAssembler:
-    """Collects subframes per PRN until a consistent 1+2+3 set exists."""
+    """Collects subframes per PRN until a CONSISTENT 1+2+3 set exists.
+
+    Consistency means the issue-of-data stamps agree (IODE of subframes
+    2 and 3 equal, and equal to the 8 LSBs of subframe 1's IODC,
+    IS-GPS-200 20.3.4.4) — otherwise a data-set cutover between
+    subframes could merge parameters from two ephemeris issues.
+    """
 
     def __init__(self):
         self._eph: dict[int, Ephemeris] = {}
-        self._seen: dict[int, set[int]] = {}
+        # per PRN: subframe_id -> issue stamp seen with it
+        self._issues: dict[int, dict[int, int]] = {}
 
     def feed(self, prn: int, sf: Subframe) -> Optional[Ephemeris]:
         eph = self._eph.setdefault(prn, Ephemeris(prn=prn))
-        if sf.subframe_id in (1, 2, 3):
-            apply_subframe(eph, sf)
-            self._seen.setdefault(prn, set()).add(sf.subframe_id)
-            if self._seen[prn] >= {1, 2, 3}:
-                return eph
+        if sf.subframe_id not in (1, 2, 3):
+            return None
+        apply_subframe(eph, sf)
+        d = sf.data
+        if sf.subframe_id == 1:
+            issue = _u(d, [(3, 23, 2), (8, 1, 8)]) & 0xFF
+        elif sf.subframe_id == 2:
+            issue = _u(d, [(3, 1, 8)])
+        else:
+            issue = _u(d, [(10, 1, 8)])
+        issues = self._issues.setdefault(prn, {})
+        issues[sf.subframe_id] = issue
+        if set(issues) >= {1, 2, 3} and len(set(issues.values())) == 1:
+            return eph
         return None

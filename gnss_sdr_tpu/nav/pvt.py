@@ -83,11 +83,7 @@ def solve_pvt(
         sat_pos[k] = pos
         sat_clk[k] = clk
 
-    x = np.zeros(4)
-    if initial_position is not None:
-        x[:3] = initial_position
-    it = 0
-    for it in range(1, max_iterations + 1):
+    def model(x):
         rho = np.zeros(n)
         h = np.zeros((n, 4))
         for k in range(n):
@@ -99,12 +95,22 @@ def solve_pvt(
             rho[k] = r + x[3] - cc * sat_clk[k]
             h[k, :3] = -d / r
             h[k, 3] = 1.0
+        return rho, h
+
+    x = np.zeros(4)
+    if initial_position is not None:
+        x[:3] = initial_position
+    it = 0
+    for it in range(1, max_iterations + 1):
+        rho, h = model(x)
         dz = pr - rho
         dx, *_ = np.linalg.lstsq(h, dz, rcond=None)
         x += dx
         if np.linalg.norm(dx[:3]) < tol_m:
             break
 
+    # residuals/GDOP of the FINAL iterate, not the pre-update one
+    rho, h = model(x)
     residuals = pr - rho
     try:
         cov = np.linalg.inv(h.T @ h)

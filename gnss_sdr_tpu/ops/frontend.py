@@ -83,10 +83,8 @@ def polyphase_decimate(re: jax.Array, im: jax.Array, taps: jax.Array,
     # frame k covers samples [k*m - n_taps + 1, k*m]; left-pad by n_taps-1
     def frames(x):
         xp = jnp.concatenate([jnp.zeros(n_taps - 1, x.dtype), x])
-        idx0 = jnp.arange(n_out) * m  # frame starts in padded coords
-        # static-shape frame extraction: as_strided equivalent via
-        # reshape trick — build [n_out, n_taps] by slicing n_taps shifted
-        # strided views (n_taps is small, e.g. 32-128)
+        # static-shape frame extraction: build [n_out, n_taps] from
+        # n_taps shifted strided column views (n_taps is small, 32-128)
         cols = [xp[t:t + n_out * m:m] for t in range(n_taps)]
         return jnp.stack(cols, axis=1)  # [n_out, n_taps], col t = x[k*m+t-(T-1)]
 

@@ -46,6 +46,7 @@ def _kernel(
     shift: int,
     oversample: int,
     n_code: int,
+    interp: bool,
 ):
     c = pl.program_id(0)
     w = re_ref.shape[1]
@@ -73,11 +74,16 @@ def _kernel(
     # ---- chip-index ramp over [-shift, W+shift) and one gather
     j = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2 * shift), 1) - shift
     cp = chip_frac + j.astype(jnp.float32) * cps
-    idx = chip_int * oversample + jnp.floor(
-        cp * jnp.float32(oversample)
-    ).astype(jnp.int32)
-    idx = jnp.mod(idx, n_code)
+    x = cp * jnp.float32(oversample)
+    base = jnp.floor(x)
+    idx = jnp.mod(chip_int * oversample + base.astype(jnp.int32), n_code)
     chips = jnp.take_along_axis(code_ref[:], idx, axis=1)
+    if interp:
+        frac = x - base
+        nxt = jnp.take_along_axis(
+            code_ref[:], jnp.mod(idx + 1, n_code), axis=1
+        )
+        chips = chips + frac * (nxt - chips)
 
     prompt = chips[:, shift:shift + w]
     early = chips[:, 2 * shift:2 * shift + w]
@@ -93,7 +99,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "oversample", "interpret"),
+    static_argnames=("shift", "oversample", "interp", "interpret"),
 )
 def epl_correlate_pallas(
     re: jax.Array,             # [C, W] f32
@@ -108,6 +114,7 @@ def epl_correlate_pallas(
     *,
     shift: int,
     oversample: int = 1,
+    interp: bool = False,
     interpret: bool = False,
 ) -> EplSums:
     """Batched fused correlator; returns EplSums of [C] arrays."""
@@ -131,7 +138,8 @@ def epl_correlate_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, shift=shift, oversample=oversample, n_code=n_code
+            _kernel, shift=shift, oversample=oversample, n_code=n_code,
+            interp=interp,
         ),
         out_shape=jax.ShapeDtypeStruct((n_ch, 6), jnp.float32),
         grid_spec=grid_spec,

@@ -193,7 +193,7 @@ def pcps_search(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs_hz", "n_int", "zero_pad")
+    jax.jit, static_argnames=("fs_hz", "n_int", "zero_pad", "window_hz")
 )
 def fine_doppler(
     samples: jax.Array,        # [n_int * N] complex64
@@ -204,6 +204,7 @@ def fine_doppler(
     fs_hz: float,
     n_int: int,
     zero_pad: int = 8,
+    window_hz: float = 500.0,
 ) -> jax.Array:
     """Refine the carrier frequency with a long zero-padded FFT.
 
@@ -215,8 +216,9 @@ def fine_doppler(
     coarse bin. Returns the refined carrier frequency [P] f32.
 
     Redesign note: instead of the legacy's generic spectrum argmax, the
-    search is windowed to +/- one coarse bin around the coarse estimate so
-    a neighbouring satellite's line can never capture the refinement.
+    search is windowed to +/- ``window_hz`` (set it to the coarse bin
+    step) around the coarse estimate so a neighbouring satellite's line
+    can never capture the refinement.
     """
     n_fft = code_samples.shape[-1]
     length = n_int * n_fft
@@ -229,8 +231,8 @@ def fine_doppler(
         wiped = samples[:length] * rep_long  # code stripped (+/-1 chips)
         spec = jnp.fft.fft(wiped, n=pad_len)
         freqs = jnp.fft.fftfreq(pad_len, d=1.0 / fs_hz).astype(jnp.float32)
-        # window: +/-500 Hz around the coarse carrier estimate
-        w = jnp.abs(freqs - f0) <= 500.0
+        # window around the coarse carrier estimate (one coarse bin)
+        w = jnp.abs(freqs - f0) <= jnp.float32(window_hz)
         mag = jnp.where(w, jnp.abs(spec), -jnp.inf)
         return freqs[jnp.argmax(mag)]
 

@@ -196,6 +196,7 @@ class AcquisitionEngine:
                     fs_hz=self.fs_hz,
                     n_int=n_int,
                     zero_pad=self.cfg.fine_doppler_zero_pad,
+                    window_hz=self.cfg.doppler_step_hz,
                 )
             )
             freqs = np.where(detected, fine, freqs)

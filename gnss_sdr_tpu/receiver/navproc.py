@@ -55,45 +55,35 @@ class ChannelNav:
         self.frames = FrameDecoder()
         self.anchor: Optional[TimeAnchor] = None
         self.subframe_count = 0
-        self._bit_samples: list[int] = []  # global_sample of each bit start
-        self._chip_hist: dict[int, float] = {}  # epoch -> chip phase
+        # epoch -> (global_sample, chip_phase), pruned to the last ~6 s
+        self._hist: dict[int, tuple[int, float]] = {}
 
     def feed_epoch(self, i_prompt: float, epoch: int,
                    global_sample: int,
                    chip_phase: float = 0.0) -> Optional[Subframe]:
-        self._chip_hist[epoch] = chip_phase
-        if len(self._chip_hist) > 8000:
-            for k in sorted(self._chip_hist)[:2000]:
-                del self._chip_hist[k]
+        self._hist[epoch] = (global_sample, chip_phase)
+        if len(self._hist) > 8000:
+            for k in sorted(self._hist)[:2000]:
+                del self._hist[k]
         bit = self.bit_sync.feed(i_prompt, epoch)
         if bit is None:
             return None
-        self._bit_samples.append(
-            global_sample  # sample of the epoch that COMPLETED the bit
-        )
         sf = self.frames.feed(bit)
         if sf is not None:
             self.subframe_count += 1
             bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            cp0 = self._chip_hist.get(bit_epoch, 0.0)
+            g0, cp0 = self._hist.get(bit_epoch, (global_sample, 0.0))
             cp0_signed = cp0 if cp0 < self.code_length / 2 else cp0 - self.code_length
             # the subframe's first bit starts at a code boundary whose
             # transmit time is HOW TOW - 6 s; the anchor epoch's
             # window-start sample sits cp0 chips past that boundary
             self.anchor = TimeAnchor(
                 epoch=bit_epoch,
-                global_sample=self._global_sample_of_bit(sf.first_bit_index),
+                global_sample=g0,
                 tow_s=sf.tow_s - 6.0 + cp0_signed / self.code_rate,
                 chip_phase=cp0,
             )
         return sf
-
-    def _global_sample_of_bit(self, bit_index: int) -> int:
-        # _bit_samples[k] is the completing epoch of bit k; its start was
-        # 19 epochs earlier, but we anchor on epoch indices instead: use
-        # the recorded epoch of the bit start via bit_epochs + spacing.
-        k = min(bit_index, len(self._bit_samples) - 1)
-        return self._bit_samples[k]
 
     def transmit_time_at(self, epoch: int,
                          chip_phase: Optional[float] = None) -> Optional[float]:

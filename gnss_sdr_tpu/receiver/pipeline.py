@@ -213,7 +213,7 @@ class Receiver:
                     "locked_fraction": (
                         float(np.mean(t.locked)) if t.locked else 0.0
                     ),
-                    "cn0_dbhz": t.cn0_dbhz(),
+                    "cn0_dbhz": t.cn0_dbhz(coherent_s=self.spec.code_period_s),
                     "last_carr_freq": t.carr_freq[-1] if t.carr_freq else None,
                     "last_doppler_hz": (
                         t.carr_freq[-1] - self.f_if if t.carr_freq else None

@@ -306,7 +306,7 @@ def epoch_step(
             win_re, win_im, n_t, state.carr_acc, carr_step,
             state.chip_int, chip_frac_f, chips_per_sample, codes,
             shift=p.el_shift, oversample=p.oversample,
-            interpret=not on_tpu,
+            interp=p.interp_code, interpret=not on_tpu,
         )
     else:
         if p.correlator == "shift":
