@@ -30,7 +30,22 @@ def main():
     ap.add_argument("--blocks", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
+    try:
+        _run(args)
+    except Exception as e:  # noqa: BLE001
+        # the driver expects ONE parseable JSON line even when the TPU
+        # tunnel is wedged (see memory: axon-tpu-tunnel-flaky)
+        print(json.dumps({
+            "metric": "real-time factor, 32-ch GPS L1 C/A acq+track",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise SystemExit(1)
 
+
+def _run(args):
     import jax
 
     if args.cpu:
