@@ -80,6 +80,9 @@ class AcqConfig:
     # reference acquisition_bk.rs:215-302)
     fine_doppler: bool = True
     fine_doppler_zero_pad: int = 8
+    # power-of-two linear-correlation FFTs (TPU FFT kernels strongly
+    # favor pow2 sizes; costs one extra code period of samples)
+    pad_fft: bool = False
     # FDMA (GLONASS): satellites share one code and are separated by
     # carrier channel k * spacing; acquisition searches each channel's
     # sub-grid and reports pseudo-PRN = channel index + 1

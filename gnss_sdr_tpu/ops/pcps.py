@@ -106,6 +106,75 @@ def pcps_power(
     return power
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def pcps_power_padded(
+    samples: jax.Array,        # [(n_int + 1) * N] complex64
+    code_fft_padded: jax.Array,  # [P, M] complex64, M = next_pow2(2N)
+    carrier_freqs: jax.Array,  # [D] f32
+    *,
+    fs_hz: float,
+    n_int: int,
+    n_fft: int,
+    sample_offset=0,
+) -> jax.Array:
+    """Power cube via power-of-two FFTs (TPU FFT kernels strongly favor
+    pow2 sizes; one code period is typically not one, e.g. 16368).
+
+    Each integration correlates a TWO-period data block against the
+    zero-padded code with M = next_pow2(2N)-point transforms; lags
+    0..N-1 are then exact LINEAR correlations (no wrap), covering every
+    code phase. Needs one extra code period of trailing samples.
+    Detection statistics differ slightly from the circular variant
+    (noise does not wrap) but peak locations are identical.
+    """
+    m = code_fft_padded.shape[-1]
+    n_prn = code_fft_padded.shape[0]
+
+    step = nco.freq_to_step(carrier_freqs, fs_hz)
+    acc0 = jnp.asarray(sample_offset, jnp.uint32) * step
+    phase = nco.phase_ramp(acc0, step, samples.shape[-1])
+    c, s = nco.cis(phase)
+    lo = jax.lax.complex(c, -s)
+    shifted = samples[None, :] * lo                       # [D, L+N]
+
+    conj_codes = jnp.conj(code_fft_padded)                # [P, M]
+
+    def accumulate(acc, c_idx):
+        block = jax.lax.dynamic_slice_in_dim(
+            shifted, c_idx * n_fft, 2 * n_fft, axis=1
+        )                                                  # [D, 2N]
+        spec = jnp.fft.fft(block, n=m, axis=-1)            # [D, M]
+        prod = spec[None, :, :] * conj_codes[:, None, :]   # [P, D, M]
+        corr = jnp.fft.ifft(prod, axis=-1)[..., :n_fft]    # [P, D, N]
+        return acc + jnp.abs(corr) ** 2, None
+
+    power0 = jnp.zeros(
+        (n_prn, carrier_freqs.shape[0], n_fft), jnp.float32
+    )
+    power, _ = jax.lax.scan(
+        accumulate, power0, jnp.arange(n_int, dtype=jnp.int32)
+    )
+    return power
+
+
+def code_replica_ffts_padded(
+    spec: SignalSpec, fs_hz: float, n_prn: int
+) -> jax.Array:
+    """[P, M] padded-code FFTs for the pow2 PCPS path."""
+    n = spec.samples_per_code(fs_hz)
+    m = _next_pow2(2 * n)
+    reps = np.zeros((n_prn, m), np.float32)
+    for p in range(1, n_prn + 1):
+        reps[p - 1, :n] = spec.sample_code(p, spec.code_rate_hz, fs_hz)
+    return jnp.asarray(np.fft.fft(reps, axis=-1).astype(np.complex64))
+
+
 def detect(
     power: jax.Array,          # [P, D, N]
     carrier_freqs: jax.Array,  # [D]
@@ -162,12 +231,13 @@ def detect(
     jax.jit,
     static_argnames=(
         "fs_hz", "n_int", "threshold", "return_power", "mode",
-        "exclusion_samples",
+        "exclusion_samples", "pad_fft", "n_fft",
     ),
 )
 def pcps_search(
-    samples: jax.Array,        # [n_int * N] complex64, raw conditioned IQ
-    code_ffts: jax.Array,      # [P, N] complex64
+    samples: jax.Array,        # [n_int * N] complex64 (circular) or
+                               # [(n_int+1) * N] (pad_fft linear path)
+    code_ffts: jax.Array,      # [P, N] (circular) or [P, M] (pad_fft)
     carrier_freqs: jax.Array,  # [D] f32 = f_if + doppler grid
     *,
     fs_hz: float,
@@ -176,16 +246,36 @@ def pcps_search(
     return_power: bool = False,
     mode: str = "peak_avg",
     exclusion_samples: int = 0,
+    pad_fft: bool = False,
+    n_fft: int | None = None,
 ) -> AcqResults:
-    """Search all PRNs over all Doppler bins in one shot."""
-    n_fft = code_ffts.shape[-1]
-    if samples.shape[-1] != n_int * n_fft:
-        raise ValueError(
-            f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
+    """Search all PRNs over all Doppler bins in one shot.
+
+    ``pad_fft=True`` uses the power-of-two linear-correlation path
+    (pcps_power_padded): pass ``code_ffts`` from
+    ``code_replica_ffts_padded`` and supply ``n_fft`` (one code period
+    in samples)."""
+    if pad_fft:
+        if n_fft is None:
+            raise ValueError("pad_fft path requires n_fft")
+        if samples.shape[-1] != (n_int + 1) * n_fft:
+            raise ValueError(
+                f"pad_fft needs {(n_int + 1)}x{n_fft} samples, "
+                f"got {samples.shape[-1]}"
+            )
+        power = pcps_power_padded(
+            samples, code_ffts, carrier_freqs,
+            fs_hz=fs_hz, n_int=n_int, n_fft=n_fft,
         )
-    power = pcps_power(
-        samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int
-    )
+    else:
+        n_fft = code_ffts.shape[-1]
+        if samples.shape[-1] != n_int * n_fft:
+            raise ValueError(
+                f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
+            )
+        power = pcps_power(
+            samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int
+        )
     return detect(
         power, carrier_freqs, threshold, return_power,
         mode=mode, exclusion_samples=exclusion_samples,

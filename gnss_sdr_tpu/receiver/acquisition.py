@@ -102,7 +102,12 @@ class AcquisitionEngine:
         self.f_if_hz = f_if_hz
         self.n_fft = spec.samples_per_code(fs_hz)
         n_code_rows = 1 if cfg.fdma_spacing_hz else cfg.n_prn
-        self.code_ffts = pcps.code_replica_ffts(spec, fs_hz, n_code_rows)
+        if cfg.pad_fft:
+            self.code_ffts = pcps.code_replica_ffts_padded(
+                spec, fs_hz, n_code_rows
+            )
+        else:
+            self.code_ffts = pcps.code_replica_ffts(spec, fs_hz, n_code_rows)
         base = pcps.doppler_grid(cfg.doppler_span_hz, cfg.doppler_step_hz)
         self._base_grid_len = base.shape[0]
         self.grid = base + np.float32(f_if_hz)
@@ -115,7 +120,9 @@ class AcquisitionEngine:
 
     @property
     def samples_needed(self) -> int:
-        return self.cfg.non_coherent_ms // self.spec.code_period_ms * self.n_fft
+        n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
+        # the pow2 linear path correlates two-period blocks: +1 period
+        return (n_int + (1 if self.cfg.pad_fft else 0)) * self.n_fft
 
     def search(
         self,
@@ -180,6 +187,8 @@ class AcquisitionEngine:
             threshold=threshold,
             mode=cfg.detector,
             exclusion_samples=excl,
+            pad_fft=cfg.pad_fft,
+            n_fft=self.n_fft if cfg.pad_fft else None,
         )
         detected = np.asarray(res.detected)
         if not detected.any():

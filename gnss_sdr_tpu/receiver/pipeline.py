@@ -65,6 +65,8 @@ class Receiver:
         self.epochs_per_block = cfg.block_ms // period
         self.block = self.epochs_per_block * n0
         acq_len = (cfg.acq.non_coherent_ms // period) * n0
+        if cfg.acq.pad_fft:
+            acq_len += n0  # linear-correlation path reads 2-period blocks
         self.acq_len = acq_len
         # history: the acquisition chunk plus tracking window slack must
         # stay addressable behind the frontier

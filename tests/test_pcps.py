@@ -182,3 +182,59 @@ class TestDetectorModes:
         cands = eng.search(np.asarray(x))
         # candidates sort by ratio: the true satellite ranks first
         assert cands[0].prn == 7
+
+
+class TestPaddedFft:
+    """Power-of-two linear-correlation PCPS path vs the circular path."""
+
+    def test_matches_circular_detection(self):
+        sats = [
+            SatelliteScenario(prn=7, doppler_hz=2500.0,
+                              code_phase_chips=333.0, amplitude=0.2),
+            SatelliteScenario(prn=21, doppler_hz=-4250.0,
+                              code_phase_chips=80.0, amplitude=0.25),
+        ]
+        x = synthesize(sats, (N_INT + 1) * N, FS, noise_std=1.0, seed=6)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+
+        circ = pcps.pcps_search(
+            x[: N_INT * N], pcps.code_replica_ffts(GPS_L1CA, FS, 32),
+            grid, fs_hz=FS, n_int=N_INT,
+        )
+        padded_codes = pcps.code_replica_ffts_padded(GPS_L1CA, FS, 32)
+        assert padded_codes.shape[-1] == 8192  # next_pow2(2*4096)
+        lin = pcps.pcps_search(
+            x, padded_codes, grid, fs_hz=FS, n_int=N_INT,
+            pad_fft=True, n_fft=N,
+        )
+        det_c = set(np.where(np.asarray(circ.detected))[0] + 1)
+        det_l = set(np.where(np.asarray(lin.detected))[0] + 1)
+        assert det_l == det_c == {7, 21}
+        for prn in (7, 21):
+            assert abs(
+                int(circ.code_phase_samples[prn - 1])
+                - int(lin.code_phase_samples[prn - 1])
+            ) <= 1
+            assert float(circ.carrier_freq_hz[prn - 1]) == float(
+                lin.carrier_freq_hz[prn - 1]
+            )
+
+    def test_receiver_with_pad_fft(self):
+        from gnss_sdr_tpu.config import (
+            AcqConfig, ReceiverConfig, RfConfig, TrackConfig,
+        )
+        from gnss_sdr_tpu.receiver import Receiver, SyntheticSource
+
+        src = SyntheticSource(
+            [SatelliteScenario(prn=14, doppler_hz=-1300.0, amplitude=0.25)],
+            FS, noise_std=1.0, seed=8, total_samples=int(0.3 * FS),
+        )
+        cfg = ReceiverConfig(
+            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
+            acq=AcqConfig(pad_fft=True),
+            track=TrackConfig(n_channels=4),
+            block_ms=20,
+        )
+        rx = Receiver(cfg, src)
+        out = rx.run()
+        assert out["tracked_prns"] == [14]
