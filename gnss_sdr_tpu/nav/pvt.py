@@ -151,3 +151,37 @@ def pseudoranges_from_tracking(
         (t_ref - tx[p]) * C.SPEED_OF_LIGHT_M_S for p in prns
     ]
     return prns, pr, [tx[p] for p in prns]
+
+
+def solve_velocity(
+    doppler_hz: Sequence[float],
+    ephemerides: Sequence[Ephemeris],
+    transmit_times_s: Sequence[float],
+    receiver_position: np.ndarray,
+    carrier_freq_hz: float = 1_575_420_000.0,
+) -> Optional[tuple[np.ndarray, float]]:
+    """Receiver velocity + clock drift from carrier Doppler observables.
+
+    Beyond-reference capability (completes the V in PVT). Model per
+    satellite: -lambda * doppler = (v_sat - v_rx) . los + c * drift_dot,
+    where los is the unit satellite->receiver line of sight. Returns
+    (velocity_ecef_m_s [3], clock_drift_s_s) or None with <4 satellites.
+    """
+    n = len(doppler_hz)
+    if n < 4:
+        return None
+    lam = C.SPEED_OF_LIGHT_M_S / carrier_freq_hz
+    h = np.zeros((n, 4))
+    z = np.zeros(n)
+    for k in range(n):
+        pos, vel, _ = satellite_position(ephemerides[k], transmit_times_s[k])
+        los = receiver_position - pos
+        los = los / np.linalg.norm(los)
+        # measured range rate from Doppler (positive doppler = closing)
+        rr_meas = -doppler_hz[k] * lam
+        # rr = (v_rx - v_sat) . los + c*drift
+        z[k] = rr_meas - np.dot(-vel, los)
+        h[k, :3] = los
+        h[k, 3] = 1.0
+    sol, *_ = np.linalg.lstsq(h, z, rcond=None)
+    return sol[:3], float(sol[3] / C.SPEED_OF_LIGHT_M_S)

@@ -22,7 +22,7 @@ import numpy as np
 from .. import constants as C
 from ..nav.bits import BitSynchronizer, FrameDecoder, Subframe
 from ..nav.ephemeris import Ephemeris, EphemerisAssembler
-from ..nav.pvt import PvtSolution, solve_pvt
+from ..nav.pvt import PvtSolution, solve_pvt, solve_velocity
 
 
 @dataclasses.dataclass
@@ -185,3 +185,23 @@ class NavProcessor:
         for t_tx in txs:
             prs.append((t0 - t_tx) * C.SPEED_OF_LIGHT_M_S)
         return solve_pvt(prs, ephs, txs)
+
+    def compute_velocity(self, position, dopplers: dict[int, float],
+                         carrier_freq_hz: float = 1_575_420_000.0):
+        """Velocity/clock-drift solution; ``dopplers`` maps channel ->
+        measured carrier Doppler (carr_freq - IF) in Hz."""
+        usable = []
+        for ch, nav in self.channels.items():
+            if (nav.anchor is None or nav.prn not in self.ephemerides
+                    or ch not in self.latest or ch not in dopplers):
+                continue
+            usable.append((ch, nav))
+        if len(usable) < 4:
+            return None
+        dops, ephs, txs = [], [], []
+        for ch, nav in usable:
+            e, g, cp = self.latest[ch]
+            txs.append(nav.transmit_time_at(e, cp))
+            ephs.append(self.ephemerides[nav.prn])
+            dops.append(dopplers[ch])
+        return solve_velocity(dops, ephs, txs, position, carrier_freq_hz)

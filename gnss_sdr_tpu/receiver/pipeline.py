@@ -200,6 +200,25 @@ class Receiver:
             return None
         return sol
 
+    def compute_velocity(self, position=None):
+        """Velocity solution from per-channel carrier Doppler (requires
+        a position: pass one or have compute_pvt succeed first)."""
+        if position is None:
+            sol = self.compute_pvt()
+            if sol is None:
+                return None
+            position = sol.position_ecef_m
+        dopplers = {}
+        for trace_ch, trace in self.telemetry.traces.items():
+            if trace.carr_freq:
+                # settled loop average: instantaneous PLL output jitters
+                # by a few Hz (~0.5 m/s per satellite)
+                recent = np.asarray(trace.carr_freq[-50:])
+                dopplers[trace_ch] = float(np.mean(recent)) - self.f_if
+        return self.nav.compute_velocity(
+            position, dopplers, self.spec.carrier_freq_hz
+        )
+
     def summary(self) -> dict:
         traces = self.telemetry.all_traces()
         return {

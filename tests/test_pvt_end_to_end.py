@@ -177,3 +177,16 @@ class TestPvtEndToEnd:
         assert 45.0 < sol.latitude_deg < 55.0
         assert 0.0 < sol.longitude_deg < 10.0
         assert -100.0 < sol.height_m < 1500.0
+
+
+class TestVelocityEndToEnd:
+    def test_static_receiver_velocity_near_zero(self, solved):
+        """The scene's receiver is static; the Doppler-based velocity
+        solution must recover ~zero ECEF velocity."""
+        rx, sol, _ = solved
+        vel = rx.compute_velocity(sol.position_ecef_m)
+        assert vel is not None
+        v, drift = vel
+        # PLL doppler jitter ~ +/-3 Hz -> ~0.6 m/s per sat; LS over 6
+        assert np.linalg.norm(v) < 2.0, f"velocity {v}"
+        assert abs(drift) < 1e-8
