@@ -59,6 +59,10 @@ class AcqConfig:
     doppler_step_hz: float = 500.0
     n_prn: int = 32
     non_coherent_ms: int = 10            # LONG_SAMPLES_LENGTH
+    # code periods summed coherently before squaring (weak-signal
+    # sensitivity; keep residual doppler << 1/(coherent_ms) and below
+    # the data-bit period)
+    coherent_ms: int = 1
     # detector: "peak_avg" = peak/avg > detection_threshold (reference
     # do_acquisition.rs:229-238); "two_peak" = first/second peak ratio
     # with +/-1 chip exclusion (legacy acquisition_bk.rs:342-399);

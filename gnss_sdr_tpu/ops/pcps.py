@@ -70,16 +70,31 @@ def pcps_power(
     *,
     fs_hz: float,
     n_int: int,
+    coherent: int = 1,         # code periods summed coherently per group
     sample_offset=0,           # traced/int: global index of samples[0],
                                # so time-sharded chunks keep exact phase
 ) -> jax.Array:
-    """Non-coherently integrated correlation power cube [P, D, N].
+    """Integrated correlation power cube [P, D, N].
+
+    ``coherent=k`` sums k consecutive 1-period correlations as complex
+    values before squaring (the remaining n_int/k groups add
+    non-coherently). Coherent gain multiplies the peak/avg detection
+    statistic by ~k instead of ~1 (weak-satellite sensitivity; the
+    reference capture's PRNs 9/28 need it, config.txt note [2]).
+    Caveats: residual Doppler must stay well under 1/(k * T_code) —
+    narrow the Doppler grid step accordingly — and data-bit edges
+    inside a group cancel (choose k <= bit period / code period).
+
+    Phase continuity across periods is free: the Doppler mix rides one
+    exact uint32 NCO ramp over the whole chunk.
 
     Traceable core shared by the single-chip search and the sharded
     variants in gnss_sdr_tpu.parallel (time shards psum these cubes).
     """
     n_fft = code_ffts.shape[-1]
     n_prn = code_ffts.shape[0]
+    if n_int % coherent:
+        raise ValueError(f"n_int={n_int} not divisible by coherent={coherent}")
 
     # Exact linear phase via uint32 NCO (see ops/nco.py); the reference
     # precomputes f32 cos/-sin tables per bin (doppler_shift.rs:11-22).
@@ -92,17 +107,22 @@ def pcps_power(
     spectra = jnp.fft.fft(shifted, axis=-1)                 # [D, n_int, N]
 
     conj_codes = jnp.conj(code_ffts)                        # [P, N]
+    n_groups = n_int // coherent
+    d = spectra.shape[0]
+    grouped = jnp.moveaxis(
+        spectra.reshape(d, n_groups, coherent, n_fft), 1, 0
+    )                                                       # [G, D, k, N]
 
-    def accumulate(acc, spectrum_c):
-        # spectrum_c: [D, N] -> correlate against every PRN at once
-        prod = spectrum_c[None, :, :] * conj_codes[:, None, :]   # [P, D, N]
-        corr = jnp.fft.ifft(prod, axis=-1)
-        return acc + jnp.abs(corr) ** 2, None
+    def accumulate(acc, group):
+        # group: [D, k, N] -> coherent complex sum over k, then power
+        coh = jnp.zeros((n_prn, d, n_fft), jnp.complex64)
+        for j in range(coherent):
+            prod = group[None, :, j, :] * conj_codes[:, None, :]
+            coh = coh + jnp.fft.ifft(prod, axis=-1)
+        return acc + jnp.abs(coh) ** 2, None
 
-    power0 = jnp.zeros((n_prn, spectra.shape[0], n_fft), jnp.float32)
-    power, _ = jax.lax.scan(
-        accumulate, power0, jnp.moveaxis(spectra, 1, 0)
-    )                                                       # [P, D, N]
+    power0 = jnp.zeros((n_prn, d, n_fft), jnp.float32)
+    power, _ = jax.lax.scan(accumulate, power0, grouped)    # [P, D, N]
     return power
 
 
@@ -231,7 +251,7 @@ def detect(
     jax.jit,
     static_argnames=(
         "fs_hz", "n_int", "threshold", "return_power", "mode",
-        "exclusion_samples", "pad_fft", "n_fft",
+        "exclusion_samples", "pad_fft", "n_fft", "coherent",
     ),
 )
 def pcps_search(
@@ -248,6 +268,7 @@ def pcps_search(
     exclusion_samples: int = 0,
     pad_fft: bool = False,
     n_fft: int | None = None,
+    coherent: int = 1,
 ) -> AcqResults:
     """Search all PRNs over all Doppler bins in one shot.
 
@@ -274,7 +295,8 @@ def pcps_search(
                 f"need {n_int}x{n_fft} samples, got {samples.shape[-1]}"
             )
         power = pcps_power(
-            samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int
+            samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int,
+            coherent=coherent,
         )
     return detect(
         power, carrier_freqs, threshold, return_power,

@@ -189,6 +189,7 @@ class AcquisitionEngine:
             exclusion_samples=excl,
             pad_fft=cfg.pad_fft,
             n_fft=self.n_fft if cfg.pad_fft else None,
+            coherent=max(1, cfg.coherent_ms // self.spec.code_period_ms),
         )
         detected = np.asarray(res.detected)
         if not detected.any():

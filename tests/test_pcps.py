@@ -238,3 +238,35 @@ class TestPaddedFft:
         rx = Receiver(cfg, src)
         out = rx.run()
         assert out["tracked_prns"] == [14]
+
+
+class TestCoherentIntegration:
+    def test_coherent_gain_detects_weak_satellite(self):
+        """A satellite too weak for 10x1 ms non-coherent integration is
+        detected with 2x5 ms coherent groups over the same capture."""
+        true_doppler = 2000.0  # exactly on a 500 Hz grid point
+        sat = [SatelliteScenario(prn=13, doppler_hz=true_doppler,
+                                 amplitude=0.035)]
+        x = synthesize(sat, N_INT * N, FS, noise_std=1.0, seed=11)
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, FS, 32)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+
+        plain = pcps.pcps_search(x, code_ffts, grid, fs_hz=FS, n_int=N_INT)
+        coh = pcps.pcps_search(
+            x, code_ffts, grid, fs_hz=FS, n_int=N_INT, coherent=5
+        )
+        assert not bool(plain.detected[12]), (
+            f"scene too strong: plain ratio {float(plain.ratio[12]):.1f}"
+        )
+        assert bool(coh.detected[12]), (
+            f"coherent ratio {float(coh.ratio[12]):.1f}"
+        )
+        assert float(coh.ratio[12]) > 2.0 * float(plain.ratio[12])
+
+    def test_indivisible_raises(self):
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, FS, 2)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        x = np.zeros(N_INT * N, np.complex64)
+        with pytest.raises(ValueError, match="divisible"):
+            pcps.pcps_search(x, code_ffts, grid, fs_hz=FS, n_int=N_INT,
+                             coherent=3)
