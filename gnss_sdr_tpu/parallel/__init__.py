@@ -7,3 +7,10 @@ from .sharding import (  # noqa: F401
     sharded_track_block,
     time_sharded_pcps_search,
 )
+from .distributed import (  # noqa: F401
+    TimeShard,
+    global_mesh,
+    initialize_from_env,
+    merge_shard_results,
+    partition_stream,
+)

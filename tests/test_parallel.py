@@ -138,3 +138,34 @@ class TestShardedAcquisition:
         np.testing.assert_array_equal(
             np.asarray(ref.detected), np.asarray(res.detected)
         )
+
+
+class TestDistributedGlue:
+    def test_partition_covers_stream_exactly_once(self):
+        shards = parallel.partition_stream(1_000_000, 4, halo=5000)
+        assert [s.core_start for s in shards] == [0, 250000, 500000, 750000]
+        assert all(s.core_count == 250000 for s in shards)
+        # halos: all but the last host read past their boundary
+        assert [s.halo for s in shards] == [5000, 5000, 5000, 0]
+        assert shards[1].count == 255000 and shards[3].count == 250000
+        # cores tile the stream exactly
+        covered = sum(s.core_count for s in shards)
+        assert covered == 1_000_000
+
+    def test_partition_validation(self):
+        with pytest.raises(ValueError, match="divisible"):
+            parallel.partition_stream(1001, 4, halo=10)
+        with pytest.raises(ValueError, match="halo"):
+            parallel.partition_stream(1000, 4, halo=300)
+
+    def test_merge_dedups_halo_events(self):
+        shards = parallel.partition_stream(1000, 2, halo=100)
+        ev_a = [{"global_sample": 10}, {"global_sample": 520}]  # 520 in halo
+        ev_b = [{"global_sample": 520}, {"global_sample": 900}]
+        merged = parallel.merge_shard_results(shards, [ev_a, ev_b])
+        assert [e["global_sample"] for e in merged] == [10, 520, 900]
+
+    def test_single_host_noop(self):
+        assert not parallel.initialize_from_env(num_processes=1)
+        shards = parallel.partition_stream(1000, 1, halo=0)
+        assert shards[0].count == 1000 and shards[0].halo == 0
