@@ -305,7 +305,8 @@ def pcps_search(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs_hz", "n_int", "zero_pad", "window_hz")
+    jax.jit,
+    static_argnames=("fs_hz", "n_int", "zero_pad", "window_hz", "squaring"),
 )
 def fine_doppler(
     samples: jax.Array,        # [n_int * N] complex64
@@ -317,6 +318,7 @@ def fine_doppler(
     n_int: int,
     zero_pad: int = 8,
     window_hz: float = 500.0,
+    squaring: bool = False,
 ) -> jax.Array:
     """Refine the carrier frequency with a long zero-padded FFT.
 
@@ -331,6 +333,12 @@ def fine_doppler(
     search is windowed to +/- ``window_hz`` (set it to the coarse bin
     step) around the coarse estimate so a neighbouring satellite's line
     can never capture the refinement.
+
+    ``squaring=True`` squares the code-stripped signal before the FFT,
+    wiping residual BPSK modulation (secondary/NH codes, data bits) at
+    the cost of halved resolution and squared noise — required for
+    secondary-coded signals (e.g. BeiDou B1I NH), whose modulation
+    otherwise splits and biases the carrier line.
     """
     n_fft = code_samples.shape[-1]
     length = n_int * n_fft
@@ -341,8 +349,14 @@ def fine_doppler(
         rep = jnp.roll(code, cp)
         rep_long = jnp.tile(rep, n_int)
         wiped = samples[:length] * rep_long  # code stripped (+/-1 chips)
-        spec = jnp.fft.fft(wiped, n=pad_len)
         freqs = jnp.fft.fftfreq(pad_len, d=1.0 / fs_hz).astype(jnp.float32)
+        if squaring:
+            spec = jnp.fft.fft(wiped * wiped, n=pad_len)
+            # the squared line sits at 2*f
+            w = jnp.abs(freqs - 2.0 * f0) <= jnp.float32(2.0 * window_hz)
+            mag = jnp.where(w, jnp.abs(spec), -jnp.inf)
+            return freqs[jnp.argmax(mag)] * 0.5
+        spec = jnp.fft.fft(wiped, n=pad_len)
         # window around the coarse carrier estimate (one coarse bin)
         w = jnp.abs(freqs - f0) <= jnp.float32(window_hz)
         mag = jnp.where(w, jnp.abs(spec), -jnp.inf)

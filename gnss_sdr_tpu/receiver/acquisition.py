@@ -207,6 +207,9 @@ class AcquisitionEngine:
                     n_int=n_int,
                     zero_pad=self.cfg.fine_doppler_zero_pad,
                     window_hz=self.cfg.doppler_step_hz,
+                    # secondary/NH modulation splits the coherent line;
+                    # wipe it by squaring
+                    squaring=self.spec.secondary_code is not None,
                 )
             )
             freqs = np.where(detected, fine, freqs)

@@ -123,10 +123,10 @@ class TestFullChainLive:
         sol = rx.compute_pvt()
         assert sol is not None, f"no fix; nav={rx.summary()['nav']}"
         err = np.linalg.norm(sol.position_ecef_m - RX_TRUE)
-        # 2 samples/chip code quantization dominates (see
-        # test_pvt_end_to_end error budget); the statement here is the
-        # LIVE decode -> anchor -> PVT chain, not ultimate precision
-        assert err < 400.0, f"live-fix position error {err:.1f} m"
+        # observed ~13.5 m: live anchors form after DLL convergence, so
+        # the code-quantization wander largely averages out (contrast
+        # the injected-anchor budget in test_pvt_end_to_end)
+        assert err < 100.0, f"live-fix position error {err:.1f} m"
         assert sol.gdop < 20.0
 
     def test_live_velocity(self, live_fix):

@@ -5,6 +5,7 @@ import pytest
 
 from gnss_sdr_tpu.config import AcqConfig, ReceiverConfig, RfConfig, TrackConfig
 from gnss_sdr_tpu.models import (
+    BEIDOU_B1I,
     GALILEO_E1B,
     GLONASS_L1OF,
     GPS_L1CA,
@@ -57,9 +58,13 @@ class TestMultiConstellation:
             SatelliteScenario(prn=1, doppler_hz=2 * 562_500.0 - 1200.0,
                               amplitude=0.3, signal=GLONASS_L1OF),
         ]
+        bds_sats = [
+            SatelliteScenario(prn=27, doppler_hz=-900.0, amplitude=0.3,
+                              signal=BEIDOU_B1I),
+        ]
         source = SyntheticSource(
-            gps_sats + gal_sats + glo_sats, FS, noise_std=1.0, seed=13,
-            total_samples=int(0.5 * FS),
+            gps_sats + gal_sats + glo_sats + bds_sats, FS, noise_std=1.0,
+            seed=13, total_samples=int(0.5 * FS),
         )
         configs = {
             "gps_l1ca": ReceiverConfig(
@@ -85,7 +90,16 @@ class TestMultiConstellation:
                 track=TrackConfig(signal="glonass_l1of", n_channels=4),
                 block_ms=20,
             ),
+            "beidou_b1i": ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
+                acq=AcqConfig(signal="beidou_b1i", n_prn=37,
+                              detection_threshold=10.0),
+                track=TrackConfig(signal="beidou_b1i", n_channels=16),
+                block_ms=20,
+            ),
         }
+        # config ladder 4: 32 channels total across 4 constellations
+        assert sum(c.track.n_channels for c in configs.values()) == 32
         mrx = MultiConstellationReceiver(configs, source)
         out = mrx.run()
 
@@ -93,6 +107,7 @@ class TestMultiConstellation:
         assert out["galileo_e1b"]["tracked_prns"] == [11]
         # FDMA channel +2 is at index 9 of range(-7,7) -> pseudo-PRN 10
         assert out["glonass_l1of"]["tracked_prns"] == [10]
+        assert out["beidou_b1i"]["tracked_prns"] == [27]
 
         # all constellations hold lock with correct doppler
         gps = {c["prn"]: c for c in out["gps_l1ca"]["channels"]}
@@ -105,3 +120,6 @@ class TestMultiConstellation:
         assert glo["last_doppler_hz"] == pytest.approx(
             2 * 562_500.0 - 1200.0, abs=10.0
         )
+        bds = out["beidou_b1i"]["channels"][0]
+        assert bds["locked_fraction"] > 0.9
+        assert bds["last_doppler_hz"] == pytest.approx(-900.0, abs=10.0)
