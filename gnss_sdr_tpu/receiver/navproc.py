@@ -55,13 +55,15 @@ class ChannelNav:
         self.frames = FrameDecoder()
         self.anchor: Optional[TimeAnchor] = None
         self.subframe_count = 0
-        # epoch -> (global_sample, chip_phase), pruned to the last ~6 s
-        self._hist: dict[int, tuple[int, float]] = {}
+        # epoch -> (global_sample, chip_phase, carr_freq), pruned to
+        # the last ~6 s
+        self._hist: dict[int, tuple[int, float, float]] = {}
 
     def feed_epoch(self, i_prompt: float, epoch: int,
                    global_sample: int,
-                   chip_phase: float = 0.0) -> Optional[Subframe]:
-        self._hist[epoch] = (global_sample, chip_phase)
+                   chip_phase: float = 0.0,
+                   carr_freq: float = 0.0) -> Optional[Subframe]:
+        self._hist[epoch] = (global_sample, chip_phase, carr_freq)
         if len(self._hist) > 8000:
             for k in sorted(self._hist)[:2000]:
                 del self._hist[k]
@@ -72,7 +74,9 @@ class ChannelNav:
         if sf is not None:
             self.subframe_count += 1
             bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            g0, cp0 = self._hist.get(bit_epoch, (global_sample, 0.0))
+            g0, cp0, _ = self._hist.get(
+                bit_epoch, (global_sample, 0.0, 0.0)
+            )
             cp0_signed = cp0 if cp0 < self.code_length / 2 else cp0 - self.code_length
             # the subframe's first bit starts at a code boundary whose
             # transmit time is HOW TOW - 6 s; the anchor epoch's
@@ -84,6 +88,41 @@ class ChannelNav:
                 chip_phase=cp0,
             )
         return sf
+
+    def smoothed_transmit_time(
+        self, epoch: int, fs_hz: float, f_if_hz: float,
+        carrier_freq_hz: float, window: int = 100,
+    ) -> Optional[float]:
+        """Carrier-smoothed (Hatch) transmit time at ``epoch``.
+
+        Code observables carry noise/quantization wander; the carrier
+        predicts the transmit-time ADVANCE between epochs almost
+        noiselessly (dt_tx = dt_rx * (1 + fd/f_carrier)). Averaging
+        code-derived t_tx(k) propagated to the latest epoch by the
+        carrier smooths uncorrelated code noise by ~window.
+
+        Note: on floor-quantized synthetic scenes the code wander is
+        strongly time-correlated (it drifts with the code-Doppler
+        sample-phase), so smoothing does NOT help there — it pays off
+        on band-limited real RF where code noise decorrelates
+        epoch-to-epoch. Default off in compute_pvt."""
+        if self.anchor is None or epoch not in self._hist:
+            return None
+        g_n = self._hist[epoch][0]
+        ks = sorted(k for k in self._hist if k <= epoch)[-window:]
+        vals = []
+        for k in ks:
+            g_k, cp_k, f_k = self._hist[k]
+            t_k = self.transmit_time_at(k, cp_k)
+            if t_k is None:
+                continue
+            fd = f_k - f_if_hz
+            vals.append(
+                t_k + (g_n - g_k) / fs_hz * (1.0 + fd / carrier_freq_hz)
+            )
+        if not vals:
+            return None
+        return float(np.mean(vals))
 
     def transmit_time_at(self, epoch: int,
                          chip_phase: Optional[float] = None) -> Optional[float]:
@@ -132,13 +171,16 @@ class NavProcessor:
         epochs = np.asarray(telem.epoch_index)
         offsets = np.asarray(telem.start_offset)
         chips = np.asarray(telem.chip_phase)
+        carr = np.asarray(telem.carr_freq)
         for ch, nav in self.channels.items():
             rows = np.where(processed[:, ch])[0]
             for t in rows:
                 e = int(epochs[t, ch])
                 g = window_global_start + int(offsets[t, ch])
                 cp = float(chips[t, ch])
-                sf = nav.feed_epoch(float(i_p[t, ch]), e, g, cp)
+                sf = nav.feed_epoch(
+                    float(i_p[t, ch]), e, g, cp, float(carr[t, ch])
+                )
                 self.latest[ch] = (e, g, cp)
                 if sf is not None:
                     eph = self.assembler.feed(nav.prn, sf)
@@ -158,8 +200,14 @@ class NavProcessor:
             for ch, nav in self.channels.items()
         }
 
-    def compute_pvt(self) -> Optional[PvtSolution]:
-        """Single-point solution at the latest common receiver epoch."""
+    def compute_pvt(self, smooth_epochs: int = 0,
+                    f_if_hz: float = 0.0,
+                    carrier_freq_hz: float = 1_575_420_000.0,
+                    ) -> Optional[PvtSolution]:
+        """Single-point solution at the latest common receiver epoch.
+
+        ``smooth_epochs > 0`` uses carrier-smoothed (Hatch) transmit
+        times over that many trailing epochs per channel."""
         usable = []
         for ch, nav in self.channels.items():
             if nav.anchor is None or nav.prn not in self.ephemerides:
@@ -177,7 +225,13 @@ class NavProcessor:
             e, g, cp = self.latest[ch]
             # chip-exact transmit time at the epoch's window start, then
             # shift to the common receiver sample g_ref
-            t_epoch = nav.transmit_time_at(e, cp)
+            t_epoch = None
+            if smooth_epochs > 0:
+                t_epoch = nav.smoothed_transmit_time(
+                    e, self.fs, f_if_hz, carrier_freq_hz, smooth_epochs
+                )
+            if t_epoch is None:
+                t_epoch = nav.transmit_time_at(e, cp)
             t_tx = t_epoch + (g_ref - g) / self.fs
             txs.append(t_tx)
             ephs.append(self.ephemerides[nav.prn])

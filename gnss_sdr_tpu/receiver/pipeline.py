@@ -190,12 +190,15 @@ class Receiver:
             blocks += 1
         return self.summary()
 
-    def compute_pvt(self):
+    def compute_pvt(self, smooth_epochs: int = 0):
         """Single-point PVT from decoded ephemerides + code timing.
 
         None until >=4 channels hold ephemeris + TOW, or when the
-        geometry exceeds the configured GDOP gate."""
-        sol = self.nav.compute_pvt()
+        geometry exceeds the configured GDOP gate. ``smooth_epochs``
+        enables carrier-smoothed (Hatch) pseudoranges."""
+        sol = self.nav.compute_pvt(
+            smooth_epochs, self.f_if, self.spec.carrier_freq_hz
+        )
         if sol is not None and sol.gdop > self.cfg.pvt.max_gdop:
             return None
         return sol

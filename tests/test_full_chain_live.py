@@ -136,3 +136,21 @@ class TestFullChainLive:
         assert vel is not None
         v, _ = vel
         assert np.linalg.norm(v) < 5.0
+
+
+class TestHatchSmoothing:
+    def test_window_one_equals_raw(self, live_fix):
+        """smooth_epochs=1 must reproduce the raw chip-exact solution
+        (carrier propagation over zero epochs is the identity)."""
+        rx, _ = live_fix
+        raw = rx.compute_pvt(smooth_epochs=0)
+        s1 = rx.compute_pvt(smooth_epochs=1)
+        np.testing.assert_allclose(
+            s1.position_ecef_m, raw.position_ecef_m, atol=1e-6
+        )
+
+    def test_smoothed_solution_exists(self, live_fix):
+        rx, _ = live_fix
+        sol = rx.compute_pvt(smooth_epochs=400)
+        assert sol is not None
+        assert np.linalg.norm(sol.position_ecef_m - RX_TRUE) < 200.0
