@@ -29,7 +29,20 @@ def main():
     ap.add_argument("--block-ms", type=int, default=100)
     ap.add_argument("--blocks", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--preset", choices=["headline", "l1-file", "galileo", "multi"],
+        default="headline",
+        help="BASELINE.md config-ladder presets (headline = ladder 2/4 "
+        "scale: 32ch GPS @ capture rate)",
+    )
     args = ap.parse_args()
+    if args.preset == "l1-file":
+        args.fs, args.channels = 2_048_000.0, 8
+    elif args.preset == "galileo":
+        # ladder 3: Galileo E1 BOC alongside GPS-grade rates
+        args.fs, args.channels = 8_184_000.0, 8
+    elif args.preset == "multi":
+        args.fs, args.channels = 8_184_000.0, 32
     try:
         _run(args)
     except Exception as e:  # noqa: BLE001

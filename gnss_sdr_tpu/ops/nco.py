@@ -40,12 +40,17 @@ def phase_ramp(acc_u32, step_u32, n: int):
     ``acc_u32``/``step_u32`` broadcast over leading axes (e.g. channels).
     """
     i = jnp.arange(n, dtype=jnp.uint32)
-    return acc_u32[..., None] + i * step_u32[..., None]
+    acc = jnp.asarray(acc_u32, jnp.uint32)
+    step = jnp.asarray(step_u32, jnp.uint32)
+    return acc[..., None] + i * step[..., None]
 
 
 def advance(acc_u32, step_u32, n):
     """Accumulator after ``n`` samples (n may be traced int32)."""
-    return acc_u32 + n.astype(jnp.uint32) * step_u32
+    # force jnp arithmetic: NumPy scalars warn on (intended) wraparound
+    acc = jnp.asarray(acc_u32, jnp.uint32)
+    step = jnp.asarray(step_u32, jnp.uint32)
+    return acc + jnp.asarray(n).astype(jnp.uint32) * step
 
 
 def to_radians(phase_u32):
