@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import ReceiverConfig
 from ..models.constellation import get_signal
+from ..utils.profiling import StageTimer
 from ..utils.telemetry import TelemetryLog
 from . import tracking as trk
 from .acquisition import AcquisitionEngine, SearchScheduler
@@ -87,6 +88,7 @@ class Receiver:
         self.active: dict[int, int] = {}   # prn -> channel
         self.time_ms = 0.0
         self.acq_events: list = []
+        self.timers = StageTimer()
 
     # ------------------------------------------------------------------
     def _run_acquisition(self) -> None:
@@ -142,11 +144,12 @@ class Receiver:
 
     def step(self) -> bool:
         """Process one block; returns False at end of stream."""
-        pulled = self._pull_block()
-        if pulled is None:
-            return False
-        samples, n_valid = pulled
-        n_fresh = self.window.advance(samples)
+        with self.timers.stage("ingest", self.block * self.decim):
+            pulled = self._pull_block()
+            if pulled is None:
+                return False
+            samples, n_valid = pulled
+            n_fresh = self.window.advance(samples)
         if n_fresh is None:
             return False
         self.time_ms += self.cfg.block_ms
@@ -155,21 +158,28 @@ class Receiver:
         self.scheduler.update_mode(len(self.active))
         have_enough = self.window.blocks_fed * self.block >= self.acq_len
         if have_enough and self.scheduler.due(self.time_ms):
-            self._run_acquisition()
+            with self.timers.stage("acquire", self.acq_len):
+                self._run_acquisition()
 
         # one scan over the block for all channels (+1 catch-up epoch)
-        codes_ch = self.codes_full[jnp.maximum(self.state.prn_idx, 0)]
-        re = np.ascontiguousarray(np.real(self.window.buf), dtype=np.float32)
-        im = np.ascontiguousarray(np.imag(self.window.buf), dtype=np.float32)
-        self.state, telem = trk.track_block(
-            self.params, codes_ch, self.state, re, im,
-            self.epochs_per_block + 1,
-            valid_len=np.int32(self.history + n_valid),
-        )
+        with self.timers.stage("track", self.block):
+            codes_ch = self.codes_full[jnp.maximum(self.state.prn_idx, 0)]
+            re = np.ascontiguousarray(
+                np.real(self.window.buf), dtype=np.float32
+            )
+            im = np.ascontiguousarray(
+                np.imag(self.window.buf), dtype=np.float32
+            )
+            self.state, telem = trk.track_block(
+                self.params, codes_ch, self.state, re, im,
+                self.epochs_per_block + 1,
+                valid_len=np.int32(self.history + n_valid),
+            )
 
-        self.telemetry.append_block(telem, self.window.global_start)
-        if self.cfg.pvt.enable:
-            self.nav.feed_block(telem, self.window.global_start)
+        with self.timers.stage("nav", self.block):
+            self.telemetry.append_block(telem, self.window.global_start)
+            if self.cfg.pvt.enable:
+                self.nav.feed_block(telem, self.window.global_start)
 
         # lifecycle: channels lost during this block free their PRN
         lost = np.asarray(telem.lost_event).any(axis=0)
@@ -227,6 +237,10 @@ class Receiver:
         return {
             "blocks": self.window.blocks_fed,
             "time_ms": self.time_ms,
+            "stage_timing": self.timers.report(),
+            "track_realtime_factor": round(
+                self.timers.realtime_factor("track", self.fs), 2
+            ),
             "tracked_prns": sorted(self.active),
             "nav": self.nav.status(),
             "ephemerides": sorted(self.nav.ephemerides),
