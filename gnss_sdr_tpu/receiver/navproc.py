@@ -200,14 +200,14 @@ class NavProcessor:
             for ch, nav in self.channels.items()
         }
 
-    def compute_pvt(self, smooth_epochs: int = 0,
+    def observables(self, smooth_epochs: int = 0,
                     f_if_hz: float = 0.0,
-                    carrier_freq_hz: float = 1_575_420_000.0,
-                    ) -> Optional[PvtSolution]:
-        """Single-point solution at the latest common receiver epoch.
+                    carrier_freq_hz: float = 1_575_420_000.0):
+        """Raw observables at the latest common receiver epoch.
 
-        ``smooth_epochs > 0`` uses carrier-smoothed (Hatch) transmit
-        times over that many trailing epochs per channel."""
+        Returns None (fewer than 4 usable channels) or a dict:
+        prns, pseudoranges_m, transmit_times_s, ephemerides, g_ref
+        (common receiver sample), rx_time_nominal_s."""
         usable = []
         for ch, nav in self.channels.items():
             if nav.anchor is None or nav.prn not in self.ephemerides:
@@ -220,7 +220,7 @@ class NavProcessor:
         # common receiver reference: earliest of the channels' latest
         # samples (all channels have reached it)
         g_ref = min(self.latest[ch][1] for ch, _ in usable)
-        prs, ephs, txs = [], [], []
+        prns, prs, ephs, txs = [], [], [], []
         for ch, nav in usable:
             e, g, cp = self.latest[ch]
             # chip-exact transmit time at the epoch's window start, then
@@ -235,10 +235,34 @@ class NavProcessor:
             t_tx = t_epoch + (g_ref - g) / self.fs
             txs.append(t_tx)
             ephs.append(self.ephemerides[nav.prn])
+            prns.append(nav.prn)
         t0 = max(txs) + 0.068  # nominal common reception time
         for t_tx in txs:
             prs.append((t0 - t_tx) * C.SPEED_OF_LIGHT_M_S)
-        return solve_pvt(prs, ephs, txs)
+        return {
+            "prns": prns,
+            "pseudoranges_m": prs,
+            "transmit_times_s": txs,
+            "ephemerides": ephs,
+            "g_ref": g_ref,
+            "rx_time_nominal_s": t0,
+        }
+
+    def compute_pvt(self, smooth_epochs: int = 0,
+                    f_if_hz: float = 0.0,
+                    carrier_freq_hz: float = 1_575_420_000.0,
+                    ) -> Optional[PvtSolution]:
+        """Single-point solution at the latest common receiver epoch.
+
+        ``smooth_epochs > 0`` uses carrier-smoothed (Hatch) transmit
+        times over that many trailing epochs per channel."""
+        obs = self.observables(smooth_epochs, f_if_hz, carrier_freq_hz)
+        if obs is None:
+            return None
+        return solve_pvt(
+            obs["pseudoranges_m"], obs["ephemerides"],
+            obs["transmit_times_s"],
+        )
 
     def compute_velocity(self, position, dopplers: dict[int, float],
                          carrier_freq_hz: float = 1_575_420_000.0):
