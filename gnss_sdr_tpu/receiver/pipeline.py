@@ -89,6 +89,12 @@ class Receiver:
         self.time_ms = 0.0
         self.acq_events: list = []
         self.timers = StageTimer()
+        # streaming outputs (enable_observables)
+        self._obs_writer = None
+        self._obs_every_ms = 0
+        self._obs_last_ms = 0.0
+        self._obs_week = 0
+        self.nav_filter = None
 
     # ------------------------------------------------------------------
     def _run_acquisition(self) -> None:
@@ -190,10 +196,68 @@ class Receiver:
                     self.telemetry.close_channel(ch)
                     self.nav.close_channel(ch)
 
+        self._emit_observables()
         self.state = trk.rebase(self.state, self.block)
         return True
 
     # ------------------------------------------------------------------
+    def enable_observables(
+        self,
+        rinex_path: Optional[str] = None,
+        every_ms: int = 1000,
+        week: int = 0,
+        ekf: bool = False,
+    ) -> None:
+        """Stream per-epoch observables while running: optionally write
+        a RINEX 3 OBS file and/or run the EKF navigation filter
+        (config ladder 5: observables at streaming rate)."""
+        from ..nav.rinex_obs import RinexObsWriter
+
+        if rinex_path:
+            self._obs_writer = RinexObsWriter(rinex_path)
+        self._obs_every_ms = every_ms
+        self._obs_week = week
+        if ekf:
+            from ..nav.filter import NavigationFilter
+
+            self.nav_filter = NavigationFilter()
+
+    def _emit_observables(self) -> None:
+        if not self._obs_every_ms:
+            return
+        if self.time_ms - self._obs_last_ms < self._obs_every_ms:
+            return
+        obs = self.nav.observables()
+        if obs is None:
+            return
+        self._obs_last_ms = self.time_ms
+        if self._obs_writer is not None:
+            dopplers = {}
+            for prn, ch in self.active.items():
+                tr = self.telemetry.traces.get(ch)
+                if tr and tr.carr_freq:
+                    dopplers[prn] = float(
+                        np.mean(np.asarray(tr.carr_freq[-20:]))
+                    ) - self.f_if
+            cn0s = {
+                t.prn: t.cn0_dbhz(coherent_s=self.spec.code_period_s)
+                for t in self.telemetry.all_traces()
+            }
+            self._obs_writer.write_epoch(
+                self._obs_week, obs["rx_time_nominal_s"],
+                {
+                    prn: (pr, dopplers.get(prn, 0.0), cn0s.get(prn))
+                    for prn, pr in zip(obs["prns"], obs["pseudoranges_m"])
+                },
+            )
+        if self.nav_filter is not None:
+            if self.nav_filter.epochs:
+                self.nav_filter.predict(self._obs_every_ms / 1000.0)
+            self.nav_filter.update(
+                obs["pseudoranges_m"], obs["ephemerides"],
+                obs["transmit_times_s"],
+            )
+
     def run(self, max_blocks: Optional[int] = None) -> dict:
         blocks = 0
         while (max_blocks is None or blocks < max_blocks) and self.step():
