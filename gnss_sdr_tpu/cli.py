@@ -82,6 +82,13 @@ def main(argv=None) -> int:
                     help="render the receiver dashboard on exit")
     ap.add_argument("--pvt", action="store_true",
                     help="attempt a PVT solution on exit")
+    ap.add_argument("--rinex-obs", metavar="PATH",
+                    help="stream observables to a RINEX 3 OBS file")
+    ap.add_argument("--obs-every-ms", type=int, default=1000)
+    ap.add_argument("--gps-week", type=int, default=0,
+                    help="GPS week number for RINEX timestamps")
+    ap.add_argument("--ekf", action="store_true",
+                    help="run the EKF navigation filter on observables")
     ap.add_argument("--json", action="store_true",
                     help="print the summary as JSON")
     args = ap.parse_args(argv)
@@ -113,6 +120,14 @@ def main(argv=None) -> int:
 
     source = build_source(cfg)
     rx = Receiver(cfg, source)
+    if args.rinex_obs or args.ekf:
+        try:
+            rx.enable_observables(
+                rinex_path=args.rinex_obs, every_ms=args.obs_every_ms,
+                week=args.gps_week, ekf=args.ekf,
+            )
+        except OSError as e:
+            raise SystemExit(f"cannot open --rinex-obs target: {e}")
     t0 = time.time()
     out = rx.run(max_blocks=args.blocks)
     wall = time.time() - t0
@@ -147,6 +162,15 @@ def main(argv=None) -> int:
             print(f"ephemerides decoded: {out['ephemerides']}")
         if args.pvt:
             print("PVT:", out["pvt"])
+
+    if rx._obs_writer is not None:
+        rx._obs_writer.close()
+        print(f"observables -> {args.rinex_obs} "
+              f"({rx._obs_writer.epochs_written} epochs)", file=sys.stderr)
+    if args.ekf and rx.nav_filter is not None and rx.nav_filter.x is not None:
+        print("ekf position:",
+              [round(v, 1) for v in rx.nav_filter.position],
+              file=sys.stderr)
 
     if args.dashboard:
         from .utils import plot_receiver_state
