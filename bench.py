@@ -24,8 +24,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fs", type=float, default=16_367_600.0)
-    ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--fs", type=float, default=None)
+    ap.add_argument("--channels", type=int, default=None)
     ap.add_argument("--block-ms", type=int, default=100)
     ap.add_argument("--blocks", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -36,13 +36,14 @@ def main():
         "scale: 32ch GPS @ capture rate)",
     )
     args = ap.parse_args()
-    if args.preset == "l1-file":
-        args.fs, args.channels = 2_048_000.0, 8
-    elif args.preset == "galileo":
-        # ladder 3: Galileo E1 BOC alongside GPS-grade rates
-        args.fs, args.channels = 8_184_000.0, 8
-    elif args.preset == "multi":
-        args.fs, args.channels = 8_184_000.0, 32
+    preset_fs = {"headline": 16_367_600.0, "l1-file": 2_048_000.0,
+                 "galileo": 8_184_000.0, "multi": 8_184_000.0}
+    preset_ch = {"headline": 32, "l1-file": 8, "galileo": 8, "multi": 32}
+    # explicit --fs/--channels always win over the preset
+    if args.fs is None:
+        args.fs = preset_fs[args.preset]
+    if args.channels is None:
+        args.channels = preset_ch[args.preset]
     try:
         _run(args)
     except Exception as e:  # noqa: BLE001

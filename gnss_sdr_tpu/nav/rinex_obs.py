@@ -16,10 +16,19 @@ from .. import constants as C
 _GPS_EPOCH = datetime.datetime(1980, 1, 6, tzinfo=datetime.timezone.utc)
 
 
+def gps_time_to_datetime(week: int,
+                         seconds_of_week: float) -> datetime.datetime:
+    """Calendar representation of a GPS-timescale instant (no leap
+    correction — RINEX epoch records tagged GPS use this directly)."""
+    return _GPS_EPOCH + datetime.timedelta(
+        weeks=week, seconds=seconds_of_week
+    )
+
+
 def gps_time_to_utc(week: int, seconds_of_week: float,
                     leap_seconds: int = 18) -> datetime.datetime:
-    return _GPS_EPOCH + datetime.timedelta(
-        weeks=week, seconds=seconds_of_week - leap_seconds
+    return gps_time_to_datetime(week, seconds_of_week) - datetime.timedelta(
+        seconds=leap_seconds
     )
 
 
@@ -92,7 +101,8 @@ class RinexObsWriter:
     ) -> None:
         """One epoch: ``observations`` maps PRN ->
         (pseudorange_m, doppler_hz, cn0_dbhz_or_None)."""
-        t = gps_time_to_utc(week, seconds_of_week)
+        # epoch records carry GPS time, matching the header's time system
+        t = gps_time_to_datetime(week, seconds_of_week)
         if not self._header_done:
             self._first_epoch = t
             self._write_header(t)

@@ -109,17 +109,17 @@ def pcps_power(
     conj_codes = jnp.conj(code_ffts)                        # [P, N]
     n_groups = n_int // coherent
     d = spectra.shape[0]
+    # FFT linearity: sum_j ifft(X_j * C*) == ifft((sum_j X_j) * C*), so
+    # the coherent combine is one [D, N] spectrum sum per group instead
+    # of k multiplies + k IFFTs of the [P, D, N] cube
     grouped = jnp.moveaxis(
-        spectra.reshape(d, n_groups, coherent, n_fft), 1, 0
-    )                                                       # [G, D, k, N]
+        spectra.reshape(d, n_groups, coherent, n_fft).sum(axis=2), 1, 0
+    )                                                       # [G, D, N]
 
-    def accumulate(acc, group):
-        # group: [D, k, N] -> coherent complex sum over k, then power
-        coh = jnp.zeros((n_prn, d, n_fft), jnp.complex64)
-        for j in range(coherent):
-            prod = group[None, :, j, :] * conj_codes[:, None, :]
-            coh = coh + jnp.fft.ifft(prod, axis=-1)
-        return acc + jnp.abs(coh) ** 2, None
+    def accumulate(acc, spec_sum):
+        prod = spec_sum[None, :, :] * conj_codes[:, None, :]  # [P, D, N]
+        corr = jnp.fft.ifft(prod, axis=-1)
+        return acc + jnp.abs(corr) ** 2, None
 
     power0 = jnp.zeros((n_prn, d, n_fft), jnp.float32)
     power, _ = jax.lax.scan(accumulate, power0, grouped)    # [P, D, N]
@@ -141,10 +141,12 @@ def pcps_power_padded(
     fs_hz: float,
     n_int: int,
     n_fft: int,
+    coherent: int = 1,
     sample_offset=0,
 ) -> jax.Array:
     """Power cube via power-of-two FFTs (TPU FFT kernels strongly favor
     pow2 sizes; one code period is typically not one, e.g. 16368).
+    ``coherent`` groups combine as in pcps_power (spectrum-sum).
 
     Each integration correlates a TWO-period data block against the
     zero-padded code with M = next_pow2(2N)-point transforms; lags
@@ -165,11 +167,17 @@ def pcps_power_padded(
 
     conj_codes = jnp.conj(code_fft_padded)                # [P, M]
 
-    def accumulate(acc, c_idx):
-        block = jax.lax.dynamic_slice_in_dim(
-            shifted, c_idx * n_fft, 2 * n_fft, axis=1
-        )                                                  # [D, 2N]
-        spec = jnp.fft.fft(block, n=m, axis=-1)            # [D, M]
+    if n_int % coherent:
+        raise ValueError(f"n_int={n_int} not divisible by coherent={coherent}")
+
+    def accumulate(acc, g_idx):
+        # coherent spectrum sum over the group's code periods
+        spec = jnp.zeros((shifted.shape[0], m), jnp.complex64)
+        for j in range(coherent):
+            block = jax.lax.dynamic_slice_in_dim(
+                shifted, (g_idx * coherent + j) * n_fft, 2 * n_fft, axis=1
+            )                                              # [D, 2N]
+            spec = spec + jnp.fft.fft(block, n=m, axis=-1)
         prod = spec[None, :, :] * conj_codes[:, None, :]   # [P, D, M]
         corr = jnp.fft.ifft(prod, axis=-1)[..., :n_fft]    # [P, D, N]
         return acc + jnp.abs(corr) ** 2, None
@@ -178,7 +186,7 @@ def pcps_power_padded(
         (n_prn, carrier_freqs.shape[0], n_fft), jnp.float32
     )
     power, _ = jax.lax.scan(
-        accumulate, power0, jnp.arange(n_int, dtype=jnp.int32)
+        accumulate, power0, jnp.arange(n_int // coherent, dtype=jnp.int32)
     )
     return power
 
@@ -286,7 +294,7 @@ def pcps_search(
             )
         power = pcps_power_padded(
             samples, code_ffts, carrier_freqs,
-            fs_hz=fs_hz, n_int=n_int, n_fft=n_fft,
+            fs_hz=fs_hz, n_int=n_int, n_fft=n_fft, coherent=coherent,
         )
     else:
         n_fft = code_ffts.shape[-1]
@@ -352,10 +360,18 @@ def fine_doppler(
         freqs = jnp.fft.fftfreq(pad_len, d=1.0 / fs_hz).astype(jnp.float32)
         if squaring:
             spec = jnp.fft.fft(wiped * wiped, n=pad_len)
-            # the squared line sits at 2*f
-            w = jnp.abs(freqs - 2.0 * f0) <= jnp.float32(2.0 * window_hz)
+            # the squared line sits at 2*f, which may alias: fold the
+            # target into [-fs/2, fs/2) and search circularly around it
+            fs_f = jnp.float32(fs_hz)
+            target = jnp.mod(2.0 * f0 + fs_f / 2, fs_f) - fs_f / 2
+            dist = jnp.abs(freqs - target)
+            dist = jnp.minimum(dist, fs_f - dist)
+            w = dist <= jnp.float32(2.0 * window_hz)
             mag = jnp.where(w, jnp.abs(spec), -jnp.inf)
-            return freqs[jnp.argmax(mag)] * 0.5
+            peak = freqs[jnp.argmax(mag)]
+            # unalias: signed circular offset from the folded target
+            delta = jnp.mod(peak - target + fs_f / 2, fs_f) - fs_f / 2
+            return f0 + delta * 0.5
         spec = jnp.fft.fft(wiped, n=pad_len)
         # window around the coarse carrier estimate (one coarse bin)
         w = jnp.abs(freqs - f0) <= jnp.float32(window_hz)

@@ -53,17 +53,15 @@ def initialize_from_env(
 
 
 def global_mesh(n_time: int = 1, n_channel: Optional[int] = None):
-    """(time, channel) mesh over ALL devices of all hosts."""
+    """(time, channel) mesh over ALL devices of all hosts (the global
+    device list under jax.distributed); validation and layout shared
+    with sharding.make_mesh."""
     import jax
 
-    from .sharding import CHANNEL_AXIS, TIME_AXIS
-    from jax.sharding import Mesh
+    from .sharding import make_mesh
 
-    devices = jax.devices()  # global device list under jax.distributed
-    if n_channel is None:
-        n_channel = len(devices) // n_time
-    grid = np.array(devices[: n_time * n_channel]).reshape(n_time, n_channel)
-    return Mesh(grid, axis_names=(TIME_AXIS, CHANNEL_AXIS))
+    return make_mesh(n_time=n_time, n_channel=n_channel,
+                     devices=jax.devices())
 
 
 @dataclasses.dataclass(frozen=True)

@@ -93,6 +93,7 @@ class Receiver:
         self._obs_writer = None
         self._obs_every_ms = 0
         self._obs_last_ms = 0.0
+        self._obs_last_update_ms = None
         self._obs_week = 0
         self.nav_filter = None
 
@@ -239,9 +240,11 @@ class Receiver:
                     dopplers[prn] = float(
                         np.mean(np.asarray(tr.carr_freq[-20:]))
                     ) - self.f_if
+            # LIVE traces only: closed traces of re-acquired PRNs would
+            # otherwise shadow the current channel's C/N0
             cn0s = {
                 t.prn: t.cn0_dbhz(coherent_s=self.spec.code_period_s)
-                for t in self.telemetry.all_traces()
+                for t in self.telemetry.traces.values()
             }
             self._obs_writer.write_epoch(
                 self._obs_week, obs["rx_time_nominal_s"],
@@ -251,12 +254,17 @@ class Receiver:
                 },
             )
         if self.nav_filter is not None:
-            if self.nav_filter.epochs:
-                self.nav_filter.predict(self._obs_every_ms / 1000.0)
+            if self.nav_filter.epochs and self._obs_last_update_ms is not None:
+                # actual elapsed time since the last successful update
+                # (observables may skip epochs when channels dip)
+                self.nav_filter.predict(
+                    (self.time_ms - self._obs_last_update_ms) / 1000.0
+                )
             self.nav_filter.update(
                 obs["pseudoranges_m"], obs["ephemerides"],
                 obs["transmit_times_s"],
             )
+            self._obs_last_update_ms = self.time_ms
 
     def run(self, max_blocks: Optional[int] = None) -> dict:
         blocks = 0
