@@ -78,3 +78,15 @@ def test_toml_unknown_key_rejected(tmp_path):
     p.write_text("[sdr]\ncenter_frequency_hz = 1.0\n")
     with pytest.raises(ValueError, match="center_frequency_hz"):
         cfg_mod.from_toml(str(p))
+
+
+def test_ladder_presets_construct():
+    from gnss_sdr_tpu import presets
+
+    assert presets.ladder1_single_sat_capture().acq.pad_fft
+    assert presets.ladder2_eight_channel().track.n_channels == 8
+    l3 = presets.ladder3_galileo()
+    assert set(l3) == {"gps_l1ca", "galileo_e1b"}
+    l4 = presets.ladder4_multi_constellation()
+    assert sum(c.track.n_channels for c in l4.values()) == 32
+    assert presets.ladder5_full_pipeline().pvt.enable
