@@ -48,6 +48,12 @@ class RfConfig:
     # reference frontend.rs:64-66)
     decimation: int = 1
     fir_taps_per_phase: int = 8
+    # pulse blanking: zero samples with envelope > sigma * block RMS
+    # (also a reference TODO, frontend.rs:64); 0 disables
+    pulse_blank_sigma: float = 0.0
+    # digital AGC toward unit RMS (digital counterpart of the hardware
+    # enable_agc device flag)
+    enable_digital_agc: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

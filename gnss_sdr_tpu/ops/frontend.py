@@ -58,6 +58,32 @@ def dc_offset_scan(re: jax.Array, im: jax.Array, alpha: float,
     return out_re, out_im, b_re, b_im
 
 
+def pulse_blank(re: jax.Array, im: jax.Array, threshold_sigma: float):
+    """Zero samples whose envelope exceeds ``threshold_sigma`` times the
+    block RMS (impulsive-interference suppression — the feature the
+    reference declared and left TODO, frontend.rs:64).
+
+    Returns (re, im, blanked_fraction)."""
+    power = re * re + im * im
+    rms2 = jnp.mean(power)
+    keep = power <= jnp.float32(threshold_sigma**2) * rms2
+    keep_f = keep.astype(jnp.float32)
+    return re * keep_f, im * keep_f, 1.0 - jnp.mean(keep_f)
+
+
+def digital_agc(re: jax.Array, im: jax.Array, gain: jax.Array,
+                target_rms: float = 1.0, alpha: float = 0.1):
+    """Block-wise digital AGC: smooth the gain toward
+    target_rms / block_rms (the digital counterpart of the reference's
+    hardware enable_agc flag, rtl_sdr.rs config).
+
+    Returns (re, im, new_gain)."""
+    rms = jnp.sqrt(jnp.mean(re * re + im * im) + 1e-20)
+    desired = jnp.float32(target_rms) / rms
+    new_gain = (1.0 - alpha) * gain + alpha * desired
+    return re * new_gain, im * new_gain, new_gain
+
+
 def design_lowpass_fir(num_taps: int, cutoff_norm: float) -> np.ndarray:
     """Hamming-windowed-sinc low-pass (cutoff as fraction of Nyquist)."""
     n = np.arange(num_taps) - (num_taps - 1) / 2.0
@@ -97,7 +123,8 @@ def polyphase_decimate(re: jax.Array, im: jax.Array, taps: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("fs_hz", "alpha", "decimation", "n_taps",
-                     "enable_dc", "enable_mix"),
+                     "enable_dc", "enable_mix", "blank_sigma",
+                     "enable_agc"),
 )
 def condition_block(
     re: jax.Array,
@@ -106,6 +133,7 @@ def condition_block(
     phase_acc: jax.Array,       # u32 scalar: mixer phase carried across blocks
     bias_re: jax.Array,         # f32 scalar: DC tracker state
     bias_im: jax.Array,
+    agc_gain: jax.Array = 1.0,  # f32 scalar: AGC gain carried across blocks
     *,
     fs_hz: float,
     alpha: float = 0.001,
@@ -113,9 +141,16 @@ def condition_block(
     n_taps: int = 64,
     enable_dc: bool = True,
     enable_mix: bool = True,
+    blank_sigma: float = 0.0,   # >0 enables pulse blanking
+    enable_agc: bool = False,
 ):
     """Full conditioning chain for one block; returns
-    (re, im, new_phase_acc, new_bias_re, new_bias_im)."""
+    (re, im, new_phase_acc, new_bias_re, new_bias_im, new_agc_gain)."""
+    agc_gain = jnp.asarray(agc_gain, jnp.float32)
+    if blank_sigma > 0.0:
+        re, im, _ = pulse_blank(re, im, blank_sigma)
+    if enable_agc:
+        re, im, agc_gain = digital_agc(re, im, agc_gain)
     if enable_dc:
         re, im, bias_re, bias_im = dc_offset_scan(re, im, alpha, bias_re, bias_im)
     if enable_mix:
@@ -126,4 +161,4 @@ def condition_block(
     if decimation > 1:
         taps = jnp.asarray(design_lowpass_fir(n_taps, 0.8 / decimation))
         re, im = polyphase_decimate(re, im, taps, decimation)
-    return re, im, phase_acc, bias_re, bias_im
+    return re, im, phase_acc, bias_re, bias_im, agc_gain

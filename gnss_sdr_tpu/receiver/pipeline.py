@@ -47,13 +47,19 @@ class Receiver:
         self.decim = max(1, cfg.rf.decimation)
         self.mix = cfg.rf.enable_mixing and stream_if != 0.0
         self.dc = cfg.rf.enable_dc_removal
-        self.conditioning = self.mix or self.dc or self.decim > 1
+        self.blank_sigma = cfg.rf.pulse_blank_sigma
+        self.agc = cfg.rf.enable_digital_agc
+        self.conditioning = (
+            self.mix or self.dc or self.decim > 1
+            or self.blank_sigma > 0 or self.agc
+        )
         self.mix_freq = stream_if if self.mix else 0.0
         self.fs = self.fs_in / self.decim
         self.f_if = 0.0 if self.mix else stream_if
         self._fe_phase = np.uint32(0)
         self._fe_bias_re = np.float32(0.0)
         self._fe_bias_im = np.float32(0.0)
+        self._fe_agc_gain = np.float32(1.0)
 
         n0 = self.spec.samples_per_code(self.fs)
         self.n0 = n0
@@ -138,14 +144,14 @@ class Receiver:
             return raw, n_valid
         re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
         im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
-        re, im, self._fe_phase, self._fe_bias_re, self._fe_bias_im = (
-            condition_block(
-                re, im, np.float32(self.mix_freq), self._fe_phase,
-                self._fe_bias_re, self._fe_bias_im,
-                fs_hz=self.fs_in, alpha=self.cfg.rf.dc_alpha,
-                decimation=self.decim, enable_dc=self.dc,
-                enable_mix=self.mix,
-            )
+        (re, im, self._fe_phase, self._fe_bias_re, self._fe_bias_im,
+         self._fe_agc_gain) = condition_block(
+            re, im, np.float32(self.mix_freq), self._fe_phase,
+            self._fe_bias_re, self._fe_bias_im, self._fe_agc_gain,
+            fs_hz=self.fs_in, alpha=self.cfg.rf.dc_alpha,
+            decimation=self.decim, enable_dc=self.dc,
+            enable_mix=self.mix, blank_sigma=self.blank_sigma,
+            enable_agc=self.agc,
         )
         return np.asarray(re) + 1j * np.asarray(im), n_valid
 

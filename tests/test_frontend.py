@@ -90,7 +90,7 @@ class TestConditionChain:
         )
         re = np.real(sig).astype(np.float32)
         im = np.imag(sig).astype(np.float32)
-        out_re, out_im, acc, br, bi = frontend.condition_block(
+        out_re, out_im, acc, br, bi, _ = frontend.condition_block(
             re, im, np.float32(f_if), np.uint32(0),
             np.float32(0), np.float32(0),
             fs_hz=fs_in, decimation=m, enable_dc=True,
@@ -117,14 +117,76 @@ class TestConditionChain:
         tone_re = np.cos(2 * np.pi * f_if / fs * i).astype(np.float32)
         tone_im = np.sin(2 * np.pi * f_if / fs * i).astype(np.float32)
 
-        r1, i1, acc, br, bi = frontend.condition_block(
+        r1, i1, acc, br, bi, _ = frontend.condition_block(
             tone_re[:n], tone_im[:n], np.float32(f_if), np.uint32(0),
             np.float32(0), np.float32(0), fs_hz=fs, enable_dc=False,
         )
-        r2, i2, _, _, _ = frontend.condition_block(
+        r2, i2, _, _, _, _ = frontend.condition_block(
             tone_re[n:], tone_im[n:], np.float32(f_if), acc,
             br, bi, fs_hz=fs, enable_dc=False,
         )
         out = np.concatenate([np.asarray(r1), np.asarray(r2)])
         # mixed-down tone is DC ~ 1.0 with no phase jump at the boundary
         assert np.abs(out - 1.0).max() < 1e-3
+
+
+class TestPulseBlanking:
+    def test_impulses_removed_signal_survives(self):
+        """Acquisition through impulsive interference: blanking restores
+        detection (the reference's declared-but-unimplemented feature,
+        frontend.rs:64)."""
+        from gnss_sdr_tpu.ops import pcps
+
+        fs = 2_048_000.0
+        n = GPS_L1CA.samples_per_code(fs)
+        sig = synthesize(
+            [SatelliteScenario(prn=8, doppler_hz=1000.0, amplitude=0.2)],
+            10 * n, fs, noise_std=1.0, seed=5,
+        )
+        # strong impulses: 1% of samples at 100x amplitude
+        rng = np.random.default_rng(1)
+        idx = rng.choice(sig.size, sig.size // 100, replace=False)
+        dirty = np.array(sig)
+        dirty[idx] += 100.0 * np.exp(1j * rng.random(idx.size) * 6.28)
+
+        re = np.real(dirty).astype(np.float32)
+        im = np.imag(dirty).astype(np.float32)
+        bre, bim, frac = frontend.pulse_blank(re, im, 5.0)
+        assert 0.005 < float(frac) < 0.05
+
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, fs, 32)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        clean = np.asarray(bre) + 1j * np.asarray(bim)
+        r_dirty = pcps.pcps_search(dirty.astype(np.complex64), code_ffts,
+                                   grid, fs_hz=fs, n_int=10)
+        r_blank = pcps.pcps_search(clean.astype(np.complex64), code_ffts,
+                                   grid, fs_hz=fs, n_int=10)
+        # blanking must raise the detection statistic substantially
+        assert float(r_blank.ratio[7]) > 1.5 * float(r_dirty.ratio[7])
+        assert bool(r_blank.detected[7])
+
+    def test_receiver_with_blanking_and_agc(self):
+        from gnss_sdr_tpu.config import ReceiverConfig, RfConfig, TrackConfig
+        from gnss_sdr_tpu.receiver import ArraySource, Receiver
+
+        fs = 2_048_000.0
+        sig = 50.0 * synthesize(
+            [SatelliteScenario(prn=12, doppler_hz=-800.0, amplitude=0.25)],
+            int(0.3 * fs), fs, noise_std=1.0, seed=6,
+        )  # hot input scale: AGC must normalize it
+        rng = np.random.default_rng(2)
+        idx = rng.choice(sig.size, sig.size // 200, replace=False)
+        sig[idx] += 5000.0
+
+        cfg = ReceiverConfig(
+            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs,
+                        pulse_blank_sigma=5.0, enable_digital_agc=True),
+            track=TrackConfig(n_channels=4),
+            block_ms=20,
+        )
+        rx = Receiver(cfg, ArraySource(sig, fs))
+        out = rx.run()
+        assert out["tracked_prns"] == [12]
+        # AGC pulling the gain down toward ~1/(50*rms) for the 50x-hot
+        # input (EMA alpha=0.1: ~0.9^15 of the way after 15 blocks)
+        assert 0.01 < float(rx._fe_agc_gain) < 0.5
