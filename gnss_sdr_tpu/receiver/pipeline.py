@@ -82,6 +82,23 @@ class Receiver:
         self.params = trk.TrackParams.create(
             cfg.track, self.spec, self.fs, if_freq_hz=self.f_if
         )
+
+        # optional device mesh: tracking channels shard as a data-
+        # parallel axis (zero steady-state collectives); see
+        # gnss_sdr_tpu.parallel for the ops-level sharded entry points
+        self.mesh = None
+        par = cfg.parallel
+        if par.channel_axis > 1 or par.time_axis > 1:
+            from .. import parallel as par_mod
+
+            if cfg.track.n_channels % par.channel_axis:
+                raise ValueError(
+                    f"n_channels={cfg.track.n_channels} not divisible by "
+                    f"parallel.channel_axis={par.channel_axis}"
+                )
+            self.mesh = par_mod.make_mesh(
+                n_time=par.time_axis, n_channel=par.channel_axis
+            )
         self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
         self.state = trk.init_state(cfg.track.n_channels)
         self.window = StreamWindow(self.history, self.block)
@@ -183,11 +200,20 @@ class Receiver:
             im = np.ascontiguousarray(
                 np.imag(self.window.buf), dtype=np.float32
             )
-            self.state, telem = trk.track_block(
-                self.params, codes_ch, self.state, re, im,
-                self.epochs_per_block + 1,
-                valid_len=np.int32(self.history + n_valid),
-            )
+            if self.mesh is not None:
+                from .. import parallel as par_mod
+
+                self.state, telem = par_mod.sharded_track_block(
+                    self.mesh, self.params, codes_ch, self.state, re, im,
+                    self.epochs_per_block + 1,
+                    valid_len=np.int32(self.history + n_valid),
+                )
+            else:
+                self.state, telem = trk.track_block(
+                    self.params, codes_ch, self.state, re, im,
+                    self.epochs_per_block + 1,
+                    valid_len=np.int32(self.history + n_valid),
+                )
 
         with self.timers.stage("nav", self.block):
             self.telemetry.append_block(telem, self.window.global_start)

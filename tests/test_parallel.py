@@ -169,3 +169,63 @@ class TestDistributedGlue:
         assert not parallel.initialize_from_env(num_processes=1)
         shards = parallel.partition_stream(1000, 1, halo=0)
         assert shards[0].count == 1000 and shards[0].halo == 0
+
+
+class TestShardedReceiver:
+    def test_receiver_on_mesh_matches_unsharded(self):
+        """Full Receiver with ParallelConfig(channel_axis=4) over the
+        virtual device mesh produces the same results as unsharded —
+        the receiver-level multi-chip determinism gate."""
+        from gnss_sdr_tpu.config import (
+            ParallelConfig, ReceiverConfig, RfConfig, TrackConfig,
+        )
+        from gnss_sdr_tpu.models import SatelliteScenario, synthesize
+        from gnss_sdr_tpu.receiver import ArraySource, Receiver
+
+        fs = 2_048_000.0
+        sats = [
+            SatelliteScenario(prn=3, doppler_hz=1200.0, amplitude=0.3),
+            SatelliteScenario(prn=22, doppler_hz=-2600.0, amplitude=0.25,
+                              code_phase_chips=700.0),
+        ]
+        stream = synthesize(sats, int(0.4 * fs), fs, noise_std=1.0, seed=2)
+
+        def run(par):
+            cfg = ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs),
+                track=TrackConfig(n_channels=8),
+                parallel=par,
+                block_ms=20,
+            )
+            rx = Receiver(cfg, ArraySource(stream, fs))
+            rx.run()
+            return rx
+
+        rx_a = run(ParallelConfig())                      # unsharded
+        rx_b = run(ParallelConfig(channel_axis=4))        # 4-way mesh
+        assert rx_b.mesh is not None
+        assert set(rx_a.active) == set(rx_b.active) == {3, 22}
+        for ta, tb in zip(
+            sorted(rx_a.telemetry.all_traces(), key=lambda t: t.prn),
+            sorted(rx_b.telemetry.all_traces(), key=lambda t: t.prn),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(ta.carr_freq), np.asarray(tb.carr_freq),
+                rtol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ta.global_sample), np.asarray(tb.global_sample)
+            )
+
+    def test_indivisible_channels_rejected(self):
+        from gnss_sdr_tpu.config import (
+            ParallelConfig, ReceiverConfig, TrackConfig,
+        )
+        from gnss_sdr_tpu.receiver import ArraySource, Receiver
+
+        with pytest.raises(ValueError, match="divisible"):
+            Receiver(
+                ReceiverConfig(track=TrackConfig(n_channels=15),
+                               parallel=ParallelConfig(channel_axis=4)),
+                ArraySource(np.zeros(4096, np.complex64), 2_048_000.0),
+            )
