@@ -162,6 +162,67 @@ def epl_correlate_one_shift(
     )
 
 
+def epl_correlate_one_slice(
+    re: jax.Array,            # [W] f32 window samples (I)
+    im: jax.Array,            # [W] f32 window samples (Q)
+    n_valid: jax.Array,       # i32 scalar
+    carr_acc: jax.Array,      # u32 scalar
+    carr_step: jax.Array,     # u32 scalar
+    chip_int: jax.Array,      # i32 scalar
+    chip_frac: jax.Array,     # f32 scalar
+    chips_per_sample: jax.Array,  # f32 scalar
+    code3x: jax.Array,        # [>= 2*n0 + W] f32: code SAMPLED at fs
+                              # (nominal rate, BOC baked in), tiled
+    *,
+    shift: int,
+    n0: int,                  # nominal samples per code period
+) -> EplSums:
+    """Gather-free E/P/L correlator for restricted backends.
+
+    Replicas come from ONE dynamic slice of a pre-sampled nominal-rate
+    code table at the integer-sample shift nearest the tracked chip
+    phase (no per-sample gather, no integer mod — the session's axon
+    TPU backend supports neither). Quantization: replica alignment is
+    +/-0.5 sample and the code-rate mismatch (<1e-5 relative) drifts
+    <0.2 samples across an epoch; the u32/chip loop STATE stays exact,
+    so the quantization appears only as replica wander the loop filters
+    average — standard practice in integer-resampling receivers.
+    """
+    w = re.shape[0]
+
+    # replica start: chip phase converted to nominal sample units
+    cp = chip_int.astype(jnp.float32) + chip_frac
+    s_f = cp / chips_per_sample
+    s_i = jnp.round(s_f).astype(jnp.int32)
+    n0_i = jnp.int32(n0)
+    s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)   # wrap into [0, n0)
+    s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)
+
+    # one slice covering [s_i - shift, s_i + W + shift): offset by +n0
+    # in the tiled table so the start index is always >= 0
+    base = jax.lax.dynamic_slice(
+        code3x, (s_i + n0_i - jnp.int32(shift),), (w + 2 * shift,)
+    )
+    late = jax.lax.dynamic_slice_in_dim(base, 0, w)
+    prompt = jax.lax.dynamic_slice_in_dim(base, shift, w)
+    early = jax.lax.dynamic_slice_in_dim(base, 2 * shift, w)
+
+    mask = jnp.arange(w, dtype=jnp.int32) < n_valid
+    phase = carr_acc + jnp.arange(w, dtype=jnp.uint32) * carr_step
+    wre, wim = nco.mix_down(re, im, phase)
+    wre = jnp.where(mask, wre, 0.0)
+    wim = jnp.where(mask, wim, 0.0)
+
+    return EplSums(
+        i_e=jnp.dot(wre, early),
+        q_e=jnp.dot(wim, early),
+        i_p=jnp.dot(wre, prompt),
+        q_p=jnp.dot(wim, prompt),
+        i_l=jnp.dot(wre, late),
+        q_l=jnp.dot(wim, late),
+    )
+
+
 # Batched over channels: windows [C, W], code rows [C, L*os], scalars [C].
 epl_correlate = jax.vmap(
     epl_correlate_one,

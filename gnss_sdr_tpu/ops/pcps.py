@@ -203,6 +203,124 @@ def code_replica_ffts_padded(
     return jnp.asarray(np.fft.fft(reps, axis=-1).astype(np.complex64))
 
 
+def pcps_power_conv(
+    samples_re: jax.Array,     # [(n_int + 1) * N] f32
+    samples_im: jax.Array,     # [(n_int + 1) * N] f32
+    codes: jax.Array,          # [P, N] f32 +/-1 sampled replicas
+    carrier_freqs: jax.Array,  # [D] f32
+    *,
+    fs_hz: float,
+    n_int: int,
+    sample_offset=0,
+) -> jax.Array:
+    """FFT-free PCPS power cube [P, D, N] via MXU convolution.
+
+    The matched filter IS a correlation: one conv_general_dilated with
+    PRN replicas as output channels and (Doppler x integration) as the
+    batch computes every lag of every PRN on the systolic array —
+    2*B*P*N^2 MACs, ideally MXU-shaped. Built for backends without
+    complex/FFT support (the session's axon TPU tunnel exposes conv,
+    matmul, and f32 elementwise only — no jnp.fft, no complex dtype);
+    it is also a genuinely TPU-native alternative wherever matmul
+    throughput beats FFT throughput.
+
+    Linear correlation over two-period blocks (like pcps_power_padded):
+    needs one extra code period of trailing samples; lags 0..N-1 exact.
+    """
+    n_fft = codes.shape[-1]
+    n_prn = codes.shape[0]
+    d = carrier_freqs.shape[0]
+    length = (n_int + 1) * n_fft
+
+    step = nco.freq_to_step(carrier_freqs, fs_hz)
+    acc0 = jnp.asarray(sample_offset, jnp.uint32) * step
+    phase = nco.phase_ramp(acc0, step, length)              # [D, L+N]
+    c, s = nco.cis(phase)
+    # planar mix: (I + jQ) e^{-j t} without complex dtype
+    xre = samples_re[None, :] * c + samples_im[None, :] * s
+    xim = samples_im[None, :] * c - samples_re[None, :] * s
+
+    def blocks(x):
+        # [D, L+N] -> [D * n_int, 1, 2N] two-period blocks
+        cols = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(x, k * n_fft, 2 * n_fft, axis=1)
+                for k in range(n_int)
+            ],
+            axis=1,
+        )                                                    # [D, n_int, 2N]
+        return cols.reshape(d * n_int, 1, 2 * n_fft)
+
+    filt = codes[:, None, :]                                 # [P, 1, N]
+
+    def correlate(x):
+        # valid lags 0..N-1 of x (2N) against code (N): padding VALID
+        # on 2N input with N filter -> N+1 outputs; take first N
+        out = jax.lax.conv_general_dilated(
+            x, filt, window_strides=(1,), padding="VALID",
+            preferred_element_type=jnp.float32,
+        )                                                    # [B, P, N+1]
+        return out[..., :n_fft]
+
+    cr = correlate(blocks(xre)).reshape(d, n_int, n_prn, n_fft)
+    ci = correlate(blocks(xim)).reshape(d, n_int, n_prn, n_fft)
+    power = (cr * cr + ci * ci).sum(axis=1)                  # [D, P, N]
+    return jnp.moveaxis(power, 0, 1)                         # [P, D, N]
+
+
+def detect_real(
+    power: jax.Array,          # [P, D, N]
+    carrier_freqs: jax.Array,  # [D]
+    threshold: float,
+) -> AcqResults:
+    """Detector built only from max/compare/dot (no argmax/gather —
+    restricted-backend companion of detect())."""
+    n_fft = power.shape[-1]
+    # best Doppler bin per PRN
+    peak_per_bin = power.max(axis=-1)                        # [P, D]
+    bin_peak = peak_per_bin.max(axis=-1, keepdims=True)      # [P, 1]
+    bin_mask = (peak_per_bin == bin_peak).astype(jnp.float32)
+    bin_mask = bin_mask / jnp.maximum(bin_mask.sum(-1, keepdims=True), 1.0)
+    # soft-select the best bin's power row: [P, N]
+    bin_power = jnp.einsum("pdn,pd->pn", power, bin_mask)
+    peak = bin_power.max(axis=-1)
+    lag_iota = jax.lax.broadcasted_iota(jnp.float32, (1, n_fft), 1)
+    lag_mask = (bin_power == peak[:, None]).astype(jnp.float32)
+    lag_mask = lag_mask / jnp.maximum(lag_mask.sum(-1, keepdims=True), 1.0)
+    code_phase = (lag_mask * lag_iota).sum(-1).astype(jnp.int32)
+    freq = jnp.einsum("d,pd->p", carrier_freqs, bin_mask)
+    avg = (jnp.sum(bin_power, axis=-1) - peak) / jnp.float32(n_fft - 1)
+    ratio = peak / jnp.maximum(avg, jnp.float32(1e-20))
+    return AcqResults(
+        detected=ratio > jnp.float32(threshold),
+        ratio=ratio,
+        peak_power=peak,
+        code_phase_samples=code_phase,
+        carrier_freq_hz=freq,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs_hz", "n_int", "threshold")
+)
+def pcps_search_conv(
+    samples_re: jax.Array,
+    samples_im: jax.Array,
+    codes: jax.Array,
+    carrier_freqs: jax.Array,
+    *,
+    fs_hz: float,
+    n_int: int,
+    threshold: float = 7.0,
+) -> AcqResults:
+    """Complete FFT-free, gather-free, complex-free PCPS search."""
+    power = pcps_power_conv(
+        samples_re, samples_im, codes, carrier_freqs,
+        fs_hz=fs_hz, n_int=n_int,
+    )
+    return detect_real(power, carrier_freqs, threshold)
+
+
 def detect(
     power: jax.Array,          # [P, D, N]
     carrier_freqs: jax.Array,  # [D]

@@ -99,7 +99,13 @@ class Receiver:
             self.mesh = par_mod.make_mesh(
                 n_time=par.time_axis, n_channel=par.channel_axis
             )
-        self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
+        if cfg.track.correlator == "slice":
+            self.codes_full = trk.make_sampled_code_table(
+                self.spec, self.fs, cfg.acq.n_prn,
+                window=self.params.window,
+            )
+        else:
+            self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
         self.state = trk.init_state(cfg.track.n_channels)
         self.window = StreamWindow(self.history, self.block)
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)

@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from ..config import TrackConfig
 from ..models.constellation import SignalSpec
 from ..ops import nco
-from ..ops.correlator import epl_correlate_one, epl_correlate_one_shift
+from ..ops.correlator import (
+    epl_correlate_one,
+    epl_correlate_one_shift,
+    epl_correlate_one_slice,
+)
 from ..ops.pallas.epl_correlator import epl_correlate_pallas
 
 _U32_SCALE = 4294967296.0
@@ -176,6 +180,26 @@ class TrackParams:
         return int(round(self.fs_hz * self.code_length / self.nominal_code_rate))
 
 
+def make_sampled_code_table(
+    spec: SignalSpec, fs_hz: float, n_prn: int | None = None,
+    window: int | None = None,
+) -> jax.Array:
+    """[P, 2*n0 + W + margin] nominal-rate sampled replicas (BOC baked
+    in), tiled so any one-period slice plus E/L margin is contiguous —
+    the table for the gather-free 'slice' correlator."""
+    import numpy as np
+
+    n0 = spec.samples_per_code(fs_hz)
+    w = window or (n0 + 64)
+    need = 2 * n0 + w + 64
+    reps = int(np.ceil(need / n0)) + 1
+    rows = []
+    for p in range(1, (n_prn or spec.n_prn) + 1):
+        one = spec.sample_code(p, spec.code_rate_hz, fs_hz).astype(np.float32)
+        rows.append(np.tile(one, reps)[:need])
+    return jnp.asarray(np.stack(rows))
+
+
 def make_code_table(spec: SignalSpec, n_prn: int | None = None) -> jax.Array:
     """Device-resident ``[n_prn, L*oversample]`` f32 replica table.
 
@@ -298,7 +322,17 @@ def epoch_step(
         1.0 / _U32_SCALE
     )
 
-    if p.correlator == "pallas":
+    if p.correlator == "slice":
+        sums = jax.vmap(
+            functools.partial(
+                epl_correlate_one_slice, shift=p.el_shift,
+                n0=p.samples_per_code_nominal,
+            )
+        )(
+            win_re, win_im, n_t, state.carr_acc, carr_step,
+            state.chip_int, chip_frac_f, chips_per_sample, codes,
+        )
+    elif p.correlator == "pallas":
         import jax as _jax
 
         on_tpu = _jax.default_backend() not in ("cpu", "gpu")
@@ -375,7 +409,13 @@ def epoch_step(
     new_frac_f = new_frac_u32.astype(jnp.float32) * jnp.float32(1.0 / _U32_SCALE)
     est_total = chip_frac_f + n_t.astype(jnp.float32) * chips_per_sample
     carry = jnp.round(est_total - new_frac_f).astype(jnp.int32)
-    new_chip_int = jnp.mod(state.chip_int + carry, p.code_length)
+    # select-wrap instead of integer mod (unsupported on the axon
+    # backend); chip_int + carry < 2L always
+    raw_chip = state.chip_int + carry
+    l_i = jnp.int32(p.code_length)
+    new_chip_int = jnp.where(raw_chip >= l_i, raw_chip - l_i, raw_chip)
+    new_chip_int = jnp.where(new_chip_int >= l_i, new_chip_int - l_i,
+                             new_chip_int)
 
     # ---- lock / lost bookkeeping (do_tracking.rs:183-209)
     new_lost = jnp.where(locked, 0, state.lost_count + 1)

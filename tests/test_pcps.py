@@ -270,3 +270,36 @@ class TestCoherentIntegration:
         with pytest.raises(ValueError, match="divisible"):
             pcps.pcps_search(x, code_ffts, grid, fs_hz=FS, n_int=N_INT,
                              coherent=3)
+
+
+class TestConvPcps:
+    """FFT-free conv/matmul acquisition (restricted-backend + MXU path)."""
+
+    def test_matches_fft_path(self):
+        sats = [
+            SatelliteScenario(prn=7, doppler_hz=2500.0,
+                              code_phase_chips=333.0, amplitude=0.2),
+            SatelliteScenario(prn=19, doppler_hz=-3750.0, amplitude=0.25),
+        ]
+        x = synthesize(sats, (N_INT + 1) * N, FS, noise_std=1.0, seed=9)
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        fft_res = pcps.pcps_search(
+            x[: N_INT * N], pcps.code_replica_ffts(GPS_L1CA, FS, 32),
+            grid, fs_hz=FS, n_int=N_INT,
+        )
+        codes = np.stack([
+            GPS_L1CA.sample_code(p, 1.023e6, FS) for p in range(1, 33)
+        ]).astype(np.float32)
+        conv_res = pcps.pcps_search_conv(
+            np.real(x).astype(np.float32), np.imag(x).astype(np.float32),
+            codes, grid, fs_hz=FS, n_int=N_INT,
+        )
+        det_f = set(np.where(np.asarray(fft_res.detected))[0] + 1)
+        det_c = set(np.where(np.asarray(conv_res.detected))[0] + 1)
+        assert det_c == det_f == {7, 19}
+        for prn in (7, 19):
+            assert abs(int(conv_res.code_phase_samples[prn - 1])
+                       - int(fft_res.code_phase_samples[prn - 1])) <= 1
+            assert float(conv_res.carrier_freq_hz[prn - 1]) == float(
+                fft_res.carrier_freq_hz[prn - 1]
+            )

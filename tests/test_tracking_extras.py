@@ -91,3 +91,62 @@ class TestCostasLockDetector:
             )
             assert np.asarray(telem.lost_event).sum() == 1, f"scale {scale}"
             assert not bool(st.active[0])
+
+
+class TestSliceCorrelator:
+    """Gather-free 'slice' correlator (restricted-backend path)."""
+
+    def test_tracks_like_shift_path(self):
+        from gnss_sdr_tpu.models import synthesize as synth
+
+        fs = 4_096_000.0
+        n0 = GPS_L1CA.samples_per_code(fs)
+        sig = synth([SatelliteScenario(prn=9, doppler_hz=1700.0)],
+                    40 * n0, fs, noise_std=0.5, seed=5)
+        re = np.real(sig).astype(np.float32)
+        im = np.imag(sig).astype(np.float32)
+        results = {}
+        for corr in ("shift", "slice"):
+            cfg = TrackConfig(n_channels=1, correlator=corr)
+            params = trk.TrackParams.create(cfg, GPS_L1CA, fs)
+            if corr == "slice":
+                codes = trk.make_sampled_code_table(
+                    GPS_L1CA, fs, 32, window=params.window
+                )
+            else:
+                codes = trk.make_code_table(GPS_L1CA, 32)
+            st = trk.start_channel(trk.init_state(1), 0, 8, 1680.0, 0,
+                                   GPS_L1CA.code_rate_hz)
+            codes_ch = codes[np.maximum(np.asarray(st.prn_idx), 0)]
+            st, telem = trk.track_block(params, codes_ch, st, re, im, 35)
+            results[corr] = (st, telem)
+        st_a, t_a = results["shift"]
+        st_b, t_b = results["slice"]
+        assert np.asarray(t_b.locked)[:, 0].all()
+        # both converge to the true doppler
+        assert abs(float(st_a.carr_freq[0]) - 1700.0) < 5.0
+        assert abs(float(st_b.carr_freq[0]) - 1700.0) < 5.0
+        # prompt power comparable (slice replica quantization costs a
+        # few percent at 4 samples/chip)
+        pa = np.asarray(t_a.power)[-5:, 0].mean()
+        pb = np.asarray(t_b.power)[-5:, 0].mean()
+        assert pb > 0.85 * pa
+
+    def test_receiver_with_slice_correlator(self):
+        from gnss_sdr_tpu.config import ReceiverConfig, RfConfig
+        from gnss_sdr_tpu.models import synthesize as synth
+        from gnss_sdr_tpu.receiver import ArraySource, Receiver
+
+        fs = 2_048_000.0
+        sig = synth([SatelliteScenario(prn=24, doppler_hz=-1500.0,
+                                       amplitude=0.3)],
+                    int(0.3 * fs), fs, noise_std=1.0, seed=7)
+        cfg = ReceiverConfig(
+            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs),
+            track=TrackConfig(n_channels=4, correlator="slice"),
+            block_ms=20,
+        )
+        rx = Receiver(cfg, ArraySource(sig, fs))
+        out = rx.run()
+        assert out["tracked_prns"] == [24]
+        assert out["channels"][0]["locked_fraction"] > 0.95
