@@ -30,7 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fs", type=float, default=None)
     ap.add_argument("--channels", type=int, default=None)
-    ap.add_argument("--block-ms", type=int, default=100)
+    ap.add_argument("--block-ms", type=int, default=500)
     ap.add_argument("--blocks", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--engine", choices=["auto", "xla", "fused"],
@@ -92,10 +92,10 @@ def _run_fused(args, jax, jnp):
     codes_rows = jnp.asarray(
         np.stack([codes_s[c % 32] for c in range(channels)]))
     rng = np.random.default_rng(0)
-    block_len = (t_epochs + 2) * n0 + wp
+    block_len = (t_epochs + 3) * n0 + wp
     bre = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
     bim = jnp.asarray(rng.standard_normal(block_len), jnp.float32)
-    offsets = jnp.zeros((channels,), jnp.int32)
+    offsets = jnp.full((channels,), n0, jnp.int32)
     state0 = np.zeros((channels, fused.N_FIELDS), np.float32)
     state0[:, 0] = 1000.0
     state0[:, 3] = spec.code_rate_hz
@@ -105,11 +105,16 @@ def _run_fused(args, jax, jnp):
     cps = jnp.full((channels,), spec.code_rate_hz / fs, jnp.float32)
     p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
 
+    n_drift = 5
+    el_pad = params.el_shift + (n_drift - 1) // 2
+
     @jax.jit
     def track_step(st):
-        wre, wim = fused.slice_windows(bre, bim, offsets, t_epochs, n0, wp)
+        wre, wim = fused.slice_windows(bre, bim, offsets, t_epochs, n0,
+                                       wp, el_pad)
         reps = fused.build_replicas(codes_rows, chip_phase, cps,
-                                    params.el_shift, n0, wp, n_drift=5)
+                                    params.el_shift, n0, wp,
+                                    n_drift=n_drift)
         return fused.track_block_fused(
             wre, wim, reps, st, n0=n0, fs=fs,
             lock_threshold=cfg.lock_threshold,

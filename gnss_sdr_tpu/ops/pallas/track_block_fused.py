@@ -30,7 +30,9 @@ block boundaries).
 
 State columns: 0 carr_freq 1 carr_phase(cyc) 2 carr_err 3 code_rate
 4 chip_res(chips, residual vs block-start replica) 5 code_err
-6 lost_count 7 active 8 drift(samples)
+6 lost_count 7 active 8 drift(samples) 9 window_offset(samples,
+shared-stream mode only: the channel's epoch start within the shared
+double-length window)
 
 Telemetry columns: 0 i_e 1 q_e 2 i_p 3 q_p 4 i_l 5 q_l 6 power
 7 locked 8 pll_err 9 dll_err 10 carr_freq 11 code_rate 12 n_t 13 drift
@@ -63,9 +65,9 @@ def _atan_poly(x):
 
 
 def _kernel(
-    win_re_ref,    # [1, C, WP] grid-indexed
-    win_im_ref,    # [1, C, WP]
-    reps_ref,      # [C, n_drift * 3, WP]: row (d*3 + j), j in (E, P, L)
+    win_re_ref,    # [1, C, WP] grid-indexed, or [C, L] when resident
+    win_im_ref,
+    reps_ref,      # [C, n_drift, WP] PROMPT replica drift variants
     state_in_ref,  # [C, 128]
     telem_ref,     # [1, C, 128] out, grid-indexed
     state_out_ref,  # [C, 128] out
@@ -82,6 +84,8 @@ def _kernel(
     pll_c2: float,
     dll_c1: float,
     dll_c2: float,
+    el_shift: int = 1,
+    resident: bool = False,
 ):
     t = pl.program_id(0)
     n_epochs = pl.num_programs(0)
@@ -107,34 +111,84 @@ def _kernel(
     lost = col(6)
     active = col(7)
     drift = col(8)
+    woff = col(9)          # resident mode: shared-window channel offset
 
     fs_f = jnp.float32(fs)
     dc = code_rate / fs_f                              # [C, 1]
     n_t_f = jnp.round(fs_f * jnp.float32(code_len) / code_rate)
 
-    # windows [C, WP]; valid epoch lanes are [drift, drift + n_t)
-    wre = win_re_ref[0]
-    wim = win_im_ref[0]
-    in_epoch = jnp.logical_and(lane >= drift, lane < drift + n_t_f)
+    # windows; valid epoch lanes are [start_lane, start_lane + n_t)
+    if resident:
+        # ONE shared sample stream in VMEM: all channel offsets lie
+        # within one code period, so a double-length window starting at
+        # lane t * n0 covers every channel's epoch-t window. Slicing is
+        # legal in-kernel because n0 % 128 == 0 makes the lane start
+        # provably aligned. Per-channel alignment is pure state: the
+        # window-offset column (state[9]) shifts the mask and the
+        # carrier phase reference; the replicas are pre-anchored per
+        # channel (build_replicas_shared). Eliminates the C-fold window
+        # duplication of the streamed layout entirely.
+        start = pl.multiple_of(t * n0, 128)
+        wre = win_re_ref[0:1, pl.ds(start, wp)]    # [1, WP] shared
+        wim = win_im_ref[0:1, pl.ds(start, wp)]
+        start_lane = col(9) + drift
+    else:
+        # windows are sliced el_pad = el_shift + half lanes EARLY
+        # (slice_windows el_pad arg) so the epoch body always sits
+        # >= el_shift lanes from the window edges — required for the
+        # rolled early/late replicas to be exact
+        wre = win_re_ref[0]
+        wim = win_im_ref[0]
+        start_lane = drift + jnp.float32(el_shift + half)
+    in_epoch = jnp.logical_and(lane >= start_lane,
+                               lane < start_lane + n_t_f)
     mask = in_epoch.astype(jnp.float32)
 
-    # carrier wipeoff; phase referenced to the epoch start lane
-    theta = (carr_phase + (lane - drift) * (carr_freq / fs_f)) \
-        * jnp.float32(TWO_PI)
-    cth = jnp.cos(theta)
-    sth = jnp.sin(theta)
+    # carrier wipeoff; phase referenced to the epoch start lane.
+    # theta(l) = 2pi * (phi0 + step*l), phi0 = carr_phase - drift*step.
+    step = carr_freq / fs_f                            # [C, 1] cycles/sample
+    phi0 = carr_phase - start_lane * step
+    if wp % 128 == 0:
+        # Outer-product factorization: l = 128*q + r, so
+        # e^{j theta} = A[q] * B[r] with A = e^{j 2pi (phi0 + 128 step q)},
+        # B = e^{j 2pi step r}. Exact trig only on 2*128 anchor points per
+        # channel instead of wp samples (the kernel is transcendental-
+        # bound); mod-1 range reduction at the anchors also keeps the
+        # arguments small (the naive ramp reaches ~1e3 cycles, costing
+        # f32 ulps).
+        w128 = wp // 128
+        q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.float32
+        )
+        th_a = phi0 + (step * jnp.float32(128.0)) * q128   # [C, 128]
+        th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
+        th_b = step * q128                                  # [C, 128]
+        th_b = (th_b - jnp.floor(th_b)) * jnp.float32(TWO_PI)
+        a_c = jnp.cos(th_a)[:, :w128].reshape(-1, w128, 1)
+        a_s = jnp.sin(th_a)[:, :w128].reshape(-1, w128, 1)
+        b_c = jnp.cos(th_b).reshape(-1, 1, 128)
+        b_s = jnp.sin(th_b).reshape(-1, 1, 128)
+        cth = (a_c * b_c - a_s * b_s).reshape(-1, wp)
+        sth = (a_s * b_c + a_c * b_s).reshape(-1, wp)
+    else:
+        theta = (phi0 + lane * step) * jnp.float32(TWO_PI)
+        cth = jnp.cos(theta)
+        sth = jnp.sin(theta)
     re_w = (wre * cth + wim * sth) * mask
     im_w = (wim * cth - wre * sth) * mask
 
-    # replica variant select: drift d in [-half, half]
-    early = jnp.zeros_like(wre)
-    prompt = jnp.zeros_like(wre)
-    late = jnp.zeros_like(wre)
+    # replica variant select: drift d in [-half, half]. Only PROMPT
+    # variants are stored; early/late are exact +/-el_shift sample
+    # shifts of the prompt, realized as static circular rolls — the
+    # masked window zeroes every wrapped term (the epoch body sits
+    # >= el_shift lanes from the window ends), so the roll equals the
+    # true shifted replica. 3x less replica VMEM and select work.
+    prompt = jnp.zeros((drift.shape[0], wp), jnp.float32)
     for d in range(n_drift):
         sel_d = (drift == jnp.float32(d - half)).astype(jnp.float32)
-        early = early + sel_d * reps_ref[:, 3 * d + 0, :]
-        prompt = prompt + sel_d * reps_ref[:, 3 * d + 1, :]
-        late = late + sel_d * reps_ref[:, 3 * d + 2, :]
+        prompt = prompt + sel_d * reps_ref[:, d, :]
+    early = pltpu.roll(prompt, wp - el_shift, 1)  # early[l] = prompt[l+el]
+    late = pltpu.roll(prompt, el_shift, 1)        # late[l]  = prompt[l-el]
 
     i_e = jnp.sum(re_w * early, axis=1, keepdims=True)
     q_e = jnp.sum(im_w * early, axis=1, keepdims=True)
@@ -198,6 +252,7 @@ def _kernel(
         (6, sel(new_lost, lost)),
         (7, new_active),
         (8, sel(new_drift, drift)),
+        (9, woff),
     ])
 
     wr = jnp.where(act, 1.0, 0.0)
@@ -218,13 +273,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n0", "fs", "code_len", "lock_threshold", "max_lost",
-        "pll_c1", "pll_c2", "dll_c1", "dll_c2", "interpret",
+        "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
     ),
 )
 def track_block_fused(
     windows_re: jax.Array,   # [T, C, WP] nominal-spaced epoch windows
     windows_im: jax.Array,   # [T, C, WP]
-    replicas: jax.Array,     # [C, n_drift * 3, WP] E/P/L drift variants
+    replicas: jax.Array,     # [C, n_drift, WP] prompt drift variants
     state_in: jax.Array,     # [C, 128] f32
     *,
     n0: int,
@@ -236,6 +291,7 @@ def track_block_fused(
     pll_c2: float = 0.0,
     dll_c1: float = 0.0,
     dll_c2: float = 0.0,
+    el_shift: int = 1,
     interpret: bool = False,
 ):
     """Run T sequential tracking epochs in one kernel launch.
@@ -243,7 +299,7 @@ def track_block_fused(
     Returns (telemetry [T, C, 128], state_out [C, 128]).
     """
     t_epochs, c_channels, wp = windows_re.shape
-    n_drift = replicas.shape[1] // 3
+    n_drift = replicas.shape[1]
 
     return pl.pallas_call(
         functools.partial(
@@ -251,6 +307,7 @@ def track_block_fused(
             n_drift=n_drift, wp=wp, n0=n0, fs=fs, code_len=code_len,
             lock_threshold=lock_threshold, max_lost=max_lost,
             pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+            el_shift=el_shift,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
@@ -278,58 +335,219 @@ def track_block_fused(
     )(windows_re, windows_im, replicas, state_in)
 
 
-def slice_windows(block_re, block_im, offsets, t_epochs: int, n0: int,
-                  wp: int):
-    """XLA pre-step: [T, C, WP] windows at nominal epoch spacing from
-    each channel's current offset (drift margin lives INSIDE wp)."""
-    def one(off):
-        def per_epoch(t):
-            s = off + t * n0
-            return (
-                jax.lax.dynamic_slice(block_re, (s,), (wp,)),
-                jax.lax.dynamic_slice(block_im, (s,), (wp,)),
-            )
-        return jax.vmap(per_epoch)(jnp.arange(t_epochs, dtype=jnp.int32))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
+        "lock_threshold", "max_lost",
+        "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
+    ),
+)
+def track_block_fused_resident(
+    block_re: jax.Array,     # [L] ONE shared sample stream, all channels
+    block_im: jax.Array,     # [L]; L >= t_epochs * n0 + wp
+    replicas: jax.Array,     # [C, n_drift, WP] from build_replicas_shared
+    state_in: jax.Array,     # [C, 128] f32; col 9 = channel offset
+    *,
+    t_epochs: int,
+    k_epochs: int = 128,     # epochs per pallas launch (VMEM bound)
+    n0: int,
+    wp: int,                 # >= 2 * n0 + margin, multiple of 128
+    fs: float,
+    code_len: float = 1023.0,
+    lock_threshold: float = 15.0,
+    max_lost: int = 20,
+    pll_c1: float = 0.0,
+    pll_c2: float = 0.0,
+    dll_c1: float = 0.0,
+    dll_c2: float = 0.0,
+    el_shift: int = 1,
+    interpret: bool = False,
+):
+    """Shared-stream fused tracking: ONE copy of the IQ stream serves
+    every channel.
 
-    re_w, im_w = jax.vmap(one)(offsets)      # [C, T, WP]
-    return jnp.moveaxis(re_w, 0, 1), jnp.moveaxis(im_w, 0, 1)
+    All channel offsets lie within one code period, so a double-length
+    window (wp >= 2 * n0 + margin) starting at lane t * n0 covers every
+    channel's epoch-t window; per-channel alignment is the state's
+    window-offset column (9) plus per-channel replica anchoring
+    (build_replicas_shared). Eliminates the C-fold window duplication
+    that dominates the streamed layout's HBM traffic.
+
+    Requires ``n0 % 128 == 0`` (e.g. the 2.048 MHz operating point,
+    n0 = 2048) so the in-kernel lane slice start is provably aligned.
+    A lax.scan chunks the block into ``k_epochs``-epoch launches so the
+    per-launch VMEM footprint stays bounded; tracking state carries
+    through the scan. Returns (telemetry [T, C, 128],
+    state_out [C, 128]) identical to track_block_fused.
+    """
+    if n0 % 128:
+        raise ValueError(f"resident path needs n0 % 128 == 0, got {n0}")
+    c_channels = state_in.shape[0]
+    k = min(k_epochs, t_epochs)
+    while t_epochs % k:
+        k -= 1
+    n_chunks = t_epochs // k
+    chunk_len = k * n0 + wp
+
+    call = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_drift=replicas.shape[1], wp=wp, n0=n0, fs=fs,
+            code_len=code_len, lock_threshold=lock_threshold,
+            max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
+            dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
+            resident=True,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, c_channels, N_FIELDS), jnp.float32),
+            jax.ShapeDtypeStruct((c_channels, N_FIELDS), jnp.float32),
+        ),
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c_channels, N_FIELDS), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the double-length shared window doubles the kernel's
+            # [C, wp] stack temporaries past the 16 MB default scope
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    bre2 = block_re.reshape(1, -1)
+    bim2 = block_im.reshape(1, -1)
+
+    def body(st, i):
+        start = i * (k * n0)
+        cre = jax.lax.dynamic_slice(bre2, (0, start), (1, chunk_len))
+        cim = jax.lax.dynamic_slice(bim2, (0, start), (1, chunk_len))
+        telem, st = call(cre, cim, replicas, st)
+        return st, telem
+
+    state_out, telems = jax.lax.scan(
+        body, state_in, jnp.arange(n_chunks, dtype=jnp.int32))
+    return telems.reshape(t_epochs, c_channels, N_FIELDS), state_out
 
 
-def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
-                   n0: int, wp: int, n_drift: int = 9):
-    """XLA pre-step: [C, n_drift * 3, WP] E/P/L replica rows at integer
-    drift shifts around each channel's current code phase.
+def build_replicas_shared(codes4x, chip_phase, chips_per_sample,
+                          offsets, el_shift: int, n0: int, wp: int,
+                          n_drift: int = 5):
+    """[C, n_drift, WP] PROMPT replica rows for the shared-stream
+    path: each channel's replica is pre-shifted so that window lane
+    ``offsets[c]`` (the channel's epoch start within the shared
+    double-length window) lines up with its code phase.
 
-    ``codes3x``: [C, >= 2*n0 + wp + 2*el_shift] sampled nominal-rate
-    code (tiled); ``chip_phase``: [C] chips at the channel's offset.
+    ``codes4x``: [C, >= 3 * n0 + wp + 2 * (el_shift + half)] sampled
+    nominal-rate code (tiled >= 4 code periods); ``chip_phase``: [C]
+    chips at the channel's epoch start; ``offsets``: [C] int samples
+    in [0, n0).
     """
     half = (n_drift - 1) // 2
-
-    def one(row, cp, dcc):
-        s_f = cp / dcc
+    margin = half + el_shift
+    seg_len = wp + 2 * margin
+    out = []
+    for c in range(codes4x.shape[0]):          # static unroll over C
+        s_f = chip_phase[c] / chips_per_sample[c]
         s_i = jnp.round(s_f).astype(jnp.int32)
         n0_i = jnp.int32(n0)
         s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)
         s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)
+        # replica[l] must be code[s_i + (l - off)]: start s_i - off,
+        # wrapped positive by one period
+        base = s_i - offsets[c] + n0_i
+        seg = jax.lax.dynamic_slice(
+            codes4x[c], (base + n0_i - margin,), (seg_len,))
+        rows = []
+        for kk in range(n_drift):
+            rel = margin - (kk - half)
+            rows.append(jax.lax.slice(seg, (rel,), (rel + wp,)))
+        out.append(jnp.stack(rows))
+    return jnp.stack(out)
 
-        def variant(k):
-            # drift d: the epoch starts d samples LATE in the window, so
-            # at window lane l the epoch sample index is l - d and the
-            # replica row must shift back by d
-            base = s_i + n0_i - (k - half)
 
-            def jrow(j):
-                # j: 0 early(+shift), 1 prompt, 2 late(-shift)
-                off = base + (1 - j) * el_shift
-                return jax.lax.dynamic_slice(row, (off,), (wp,))
+def slice_windows(block_re, block_im, offsets, t_epochs: int, n0: int,
+                  wp: int, el_pad: int = 0):
+    """XLA pre-step: [T, C, WP] windows at nominal epoch spacing from
+    each channel's current offset (drift margin lives INSIDE wp).
+    ``el_pad`` (= el_shift + (n_drift - 1) // 2) prerolls each window so
+    the epoch body stays clear of the edges; requires
+    ``min(offsets) >= el_pad``.
 
-            return jax.vmap(jrow)(jnp.arange(3, dtype=jnp.int32))
+    One dynamic slice per channel, then STATIC strided reshapes build
+    the T overlapping windows — a vmapped per-epoch dynamic_slice
+    lowers to a serialized gather-equivalent on the axon backend
+    (measured ~3.7 us per slice, which dominated the whole fused path);
+    this formulation is pure reshape/concat after C slices.
 
-        return jax.vmap(variant)(
-            jnp.arange(n_drift, dtype=jnp.int32)
-        ).reshape(n_drift * 3, wp)
+    Requires ``len(block) >= max(offsets) + (t_epochs + 1) * n0``.
+    """
+    extra = wp - n0
+    if extra > n0:
+        raise ValueError(f"wp={wp} > 2*n0={2 * n0} unsupported")
+    need = (t_epochs + 1) * n0
 
-    return jax.vmap(one)(codes3x, chip_phase, chips_per_sample)
+    def windows(seg):                         # [need] -> [T, WP]
+        head = seg[: t_epochs * n0].reshape(t_epochs, n0)
+        tail = seg[n0: (t_epochs + 1) * n0].reshape(t_epochs, n0)
+        return jnp.concatenate([head, tail[:, :extra]], axis=1)
+
+    outs_re, outs_im = [], []
+    for c in range(offsets.shape[0]):         # static unroll over C
+        s = offsets[c] - el_pad
+        outs_re.append(windows(jax.lax.dynamic_slice(
+            block_re, (s,), (need,))))
+        outs_im.append(windows(jax.lax.dynamic_slice(
+            block_im, (s,), (need,))))
+    return jnp.stack(outs_re, axis=1), jnp.stack(outs_im, axis=1)
+
+
+def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
+                   n0: int, wp: int, n_drift: int = 9):
+    """XLA pre-step: [C, n_drift, WP] PROMPT replica rows at integer
+    drift shifts around each channel's current code phase (early/late
+    come from in-kernel rolls of the selected prompt row).
+
+    ``codes3x``: [C, >= 2*n0 + wp + 2*el_shift] sampled nominal-rate
+    code (tiled); ``chip_phase``: [C] chips at the channel's offset.
+
+    One dynamic slice per channel (only the code phase is dynamic);
+    the n_drift x 3 variant rows are static sub-slices of that segment
+    — vmapped dynamic_slice serializes on the axon backend.
+    """
+    half = (n_drift - 1) // 2
+    el_pad = el_shift + half           # window preroll (see kernel)
+    seg_len = wp + 2 * half
+    out = []
+    for c in range(codes3x.shape[0]):          # static unroll over C
+        s_f = chip_phase[c] / chips_per_sample[c]
+        s_i = jnp.round(s_f).astype(jnp.int32)
+        n0_i = jnp.int32(n0)
+        s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)
+        s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)
+        # prompt_row_d[l] = code[s_i + l - el_pad - (d - half)]: the
+        # epoch-start lane el_pad maps to chip phase s_i; drift d means
+        # the epoch starts d samples LATE in the window, so the replica
+        # shifts back by d
+        seg = jax.lax.dynamic_slice(
+            codes3x[c], (s_i + n0_i - el_pad - half,), (seg_len,))
+        rows = []
+        for d in range(n_drift):
+            rel = 2 * half - d
+            rows.append(jax.lax.slice(seg, (rel,), (rel + wp,)))
+        out.append(jnp.stack(rows))
+    return jnp.stack(out)
 
 
 def loop_filter_consts(cfg, code_period_ms: int = 1):

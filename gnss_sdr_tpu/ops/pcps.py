@@ -255,9 +255,15 @@ def pcps_power_conv(
 
     def correlate(x):
         # valid lags 0..N-1 of x (2N) against code (N): padding VALID
-        # on 2N input with N filter -> N+1 outputs; take first N
+        # on 2N input with N filter -> N+1 outputs; take first N.
+        # bf16 inputs, f32 accumulation: the MXU runs bf16 at a
+        # multiple of its f32 rate and the detection statistic is a
+        # peak/avg RATIO over N-point sums — a ~3-decimal-digit
+        # mantissa per product is far inside the noise floor of the
+        # post-correlation SNR at any detectable C/N0.
         out = jax.lax.conv_general_dilated(
-            x, filt, window_strides=(1,), padding="VALID",
+            x.astype(jnp.bfloat16), filt.astype(jnp.bfloat16),
+            window_strides=(1,), padding="VALID",
             preferred_element_type=jnp.float32,
         )                                                    # [B, P, N+1]
         return out[..., :n_fft]

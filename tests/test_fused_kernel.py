@@ -25,8 +25,9 @@ def run_fused(sig, doppler0, T=40, C=8):
     bre = jnp.asarray(np.real(sig), jnp.float32)
     bim = jnp.asarray(np.imag(sig), jnp.float32)
     wp = ((params.window + 63 + 127) // 128) * 128
-    offsets = jnp.zeros((C,), jnp.int32)
-    wre, wim = fused.slice_windows(bre, bim, offsets, T, N0, wp)
+    offsets = jnp.full((C,), N0, jnp.int32)   # >= el_pad from the start
+    el_pad = params.el_shift + 4              # n_drift=9 -> half=4
+    wre, wim = fused.slice_windows(bre, bim, offsets, T, N0, wp, el_pad)
     codes_ch = jnp.asarray(codes_s)[np.zeros(C, np.int32) + 8]
     reps = fused.build_replicas(
         codes_ch, jnp.zeros((C,), jnp.float32),
@@ -59,7 +60,7 @@ class TestFusedKernel:
         codes_s = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
                                               window=params.window)
         st = trk.start_channel(trk.init_state(8), 0, 8, doppler - 20.0,
-                               0, GPS_L1CA.code_rate_hz)
+                               N0, GPS_L1CA.code_rate_hz)
         codes_ch = jnp.asarray(codes_s)[np.maximum(np.asarray(st.prn_idx), 0)]
         st_ref, telem_ref = trk.track_block(
             params, codes_ch, st,
@@ -72,7 +73,7 @@ class TestFusedKernel:
         assert abs(got_freq[-1] - doppler) < 5.0
         ref_ip = np.asarray(telem_ref.i_p)[:, 0]
         got_ip = telem[:, 0, 2]
-        assert np.corrcoef(ref_ip, got_ip)[0, 1] > 0.999
+        assert np.corrcoef(ref_ip[:T], got_ip)[0, 1] > 0.999
 
     def test_lost_channel_dies_in_kernel(self):
         rng = np.random.default_rng(0)
@@ -85,3 +86,58 @@ class TestFusedKernel:
         # active flag (col 7) cleared after max_lost epochs
         assert state_out[0, 7] == 0.0
         assert telem[:, 0, 7].sum() == 0  # never locked
+
+
+class TestSharedStreamPath:
+    def test_matches_streamed_windows(self):
+        """The shared-stream resident kernel (one IQ copy for all
+        channels, in-kernel window slicing, requires n0 % 128 == 0)
+        must agree with the streamed-window kernel on every telemetry
+        and state column."""
+        import jax.numpy as jnp
+
+        FS2, N02 = 2_048_000.0, 2048
+        WP2 = ((N02 + 63 + 127) // 128) * 128
+        C, T, ND = 4, 24, 5
+        rng = np.random.default_rng(3)
+        L = (T + 2) * N02 + 2 * N02
+        bre = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        bim = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        offsets = jnp.asarray(rng.integers(8, N02, C), jnp.int32)
+        code1 = np.sign(rng.standard_normal((C, N02)))
+        codes3x = jnp.asarray(np.tile(code1, (1, 3))[:, :2 * N02 + WP2 + 4],
+                              jnp.float32)
+        cp = jnp.asarray(rng.uniform(0, 1023, C), jnp.float32)
+        cps = jnp.full((C,), 1.023e6 / FS2, jnp.float32)
+        st = np.zeros((C, 128), np.float32)
+        st[:, 0] = rng.uniform(500, 1500, C)
+        st[:, 3] = 1.023e6
+        st[:, 7] = 1.0
+
+        kw = dict(n0=N02, fs=FS2, pll_c1=0.01, pll_c2=0.005,
+                  dll_c1=0.001, dll_c2=0.0005, interpret=True)
+        el_pad = 1 + (ND - 1) // 2
+        wre, wim = fused.slice_windows(bre, bim, offsets, T, N02, WP2,
+                                       el_pad)
+        reps = fused.build_replicas(codes3x, cp, cps, 1, N02, WP2,
+                                    n_drift=ND)
+        t1, s1 = fused.track_block_fused(wre, wim, reps,
+                                         jnp.asarray(st), **kw)
+
+        wpp = ((2 * N02 + 128 + 127) // 128) * 128
+        codes4x = jnp.asarray(
+            np.tile(code1, (1, 6))[:, :3 * N02 + wpp + 8], jnp.float32)
+        reps_sh = fused.build_replicas_shared(codes4x, cp, cps, offsets,
+                                              1, N02, wpp, n_drift=ND)
+        st_sh = st.copy()
+        st_sh[:, 9] = np.asarray(offsets)
+        t2, s2 = fused.track_block_fused_resident(
+            bre, bim, reps_sh, jnp.asarray(st_sh), t_epochs=T,
+            k_epochs=8, wp=wpp, **kw)
+
+        t1n, t2n = np.asarray(t1), np.asarray(t2)
+        scale = max(1.0, np.abs(t1n[..., :7]).max())
+        assert np.abs(t1n[..., :7] - t2n[..., :7]).max() / scale < 1e-4
+        assert np.abs(t1n[..., 10] - t2n[..., 10]).max() < 0.05
+        assert np.abs(np.asarray(s1)[:, :9]
+                      - np.asarray(s2)[:, :9]).max() < 0.1
