@@ -90,6 +90,11 @@ class AcqConfig:
     # reference acquisition_bk.rs:215-302)
     fine_doppler: bool = True
     fine_doppler_zero_pad: int = 8
+    # compute engine: "fft" = batched-FFT circular/padded correlation;
+    # "conv" = MXU matched-filter convolution (FFT-free, for backends
+    # without complex/FFT support — the restricted TPU op set); "auto"
+    # picks conv on TPU backends, fft elsewhere
+    engine: str = "auto"
     # power-of-two linear-correlation FFTs (TPU FFT kernels strongly
     # favor pow2 sizes; costs one extra code period of samples)
     pad_fft: bool = False

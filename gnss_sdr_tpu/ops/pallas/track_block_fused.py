@@ -36,6 +36,7 @@ double-length window)
 
 Telemetry columns: 0 i_e 1 q_e 2 i_p 3 q_p 4 i_l 5 q_l 6 power
 7 locked 8 pll_err 9 dll_err 10 carr_freq 11 code_rate 12 n_t 13 drift
+14 chip_res at epoch start 15 lost_event 16 processed
 """
 from __future__ import annotations
 
@@ -262,6 +263,9 @@ def _kernel(
         (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
         (9, dll_err * wr), (10, sel(new_carr_freq, carr_freq)),
         (11, sel(new_code_rate, code_rate)), (12, n_t_f), (13, drift),
+        (14, chip_res * wr),
+        (15, jnp.where(jnp.logical_and(died, act), 1.0, 0.0)),
+        (16, wr),
     ])
 
     @pl.when(t == n_epochs - 1)

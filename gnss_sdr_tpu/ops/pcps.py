@@ -327,6 +327,76 @@ def pcps_search_conv(
     return detect_real(power, carrier_freqs, threshold)
 
 
+def fine_doppler_conv(
+    samples_re: jax.Array,     # [>= n_int * N] f32
+    samples_im: jax.Array,
+    code_samples: jax.Array,   # [P, N] f32 +/-1 sampled replicas
+    code_phase: jax.Array,     # [P] i32 from the search
+    coarse_freq: jax.Array,    # [P] f32 carrier (f_if + doppler) estimate
+    *,
+    fs_hz: float,
+    n_int: int,
+    window_hz: float = 500.0,
+    n_steps: int = 129,
+    squaring: bool = False,
+) -> jax.Array:
+    """FFT-free fine Doppler for restricted backends (companion of
+    fine_doppler, which needs jnp.fft — unavailable on the axon TPU
+    backend).
+
+    Wipe the code at the acquired phase, collapse each code period to
+    one complex prompt sum at the coarse carrier, then evaluate the
+    residual-tone power on a dense +/- window_hz offset grid with one
+    small matmul (an explicit DFT over n_int points) and pick the peak
+    mask-wise (no argmax). Resolution window_hz * 2 / (n_steps - 1)
+    (~7.8 Hz at the defaults) — well inside the Costas pull-in range.
+
+    ``squaring=True`` squares the per-period sums first, wiping residual
+    BPSK (secondary/NH codes, data bits); the tone then sits at twice
+    the offset, so the grid spans +/- 2 * window_hz and the result is
+    halved (parity with fine_doppler's squaring mode).
+    """
+    n_fft = code_samples.shape[-1]
+    length = n_int * n_fft
+    p = code_samples.shape[0]
+    span = (2.0 * window_hz) if squaring else window_hz
+    deltas = jnp.linspace(-span, span, n_steps).astype(jnp.float32)
+    t_ms = (jnp.arange(n_int, dtype=jnp.float32) * n_fft
+            / jnp.float32(fs_hz))                       # [M]
+    ph = deltas[:, None] * t_ms[None, :] * jnp.float32(2.0 * np.pi)
+    dft_c = jnp.cos(ph)                                  # [K, M]
+    dft_s = jnp.sin(ph)
+
+    i = jnp.arange(length, dtype=jnp.float32)
+    xre = samples_re[:length]
+    xim = samples_im[:length]
+    outs = []
+    for k in range(p):                    # static unroll over PRNs
+        rep = jnp.roll(code_samples[k], code_phase[k])
+        rep_long = jnp.tile(rep, n_int)
+        f0 = coarse_freq[k]
+        theta = f0 / jnp.float32(fs_hz) * i
+        theta = (theta - jnp.floor(theta)) * jnp.float32(2.0 * np.pi)
+        c = jnp.cos(theta)
+        sn = jnp.sin(theta)
+        wre = (xre * c + xim * sn) * rep_long
+        wim = (xim * c - xre * sn) * rep_long
+        zre = wre.reshape(n_int, n_fft).sum(-1)          # [M]
+        zim = wim.reshape(n_int, n_fft).sum(-1)
+        if squaring:
+            zre, zim = zre * zre - zim * zim, 2.0 * zre * zim
+        # residual tone power at each offset: |sum_m z_m e^{-j ph}|^2
+        pr = dft_c @ zre + dft_s @ zim                   # [K]
+        pi = dft_c @ zim - dft_s @ zre
+        pow_k = pr * pr + pi * pi
+        peak = pow_k.max()
+        m = (pow_k == peak).astype(jnp.float32)
+        m = m / jnp.maximum(m.sum(), 1.0)
+        d_star = (m * deltas).sum()
+        outs.append(f0 + (d_star * 0.5 if squaring else d_star))
+    return jnp.stack(outs)
+
+
 def detect(
     power: jax.Array,          # [P, D, N]
     carrier_freqs: jax.Array,  # [D]

@@ -17,9 +17,37 @@ from typing import Optional
 
 import numpy as np
 
+import functools
+
+import jax
+
 from ..config import AcqConfig
 from ..models.constellation import SignalSpec
 from ..ops import pcps
+
+# jitted entry points: the engine runs once per pacing interval, but an
+# un-jitted call dispatches hundreds of ops eagerly — intolerable on a
+# remote-tunneled TPU backend (seconds per op round trip)
+_search_conv = jax.jit(
+    pcps.pcps_search_conv,
+    static_argnames=("fs_hz", "n_int", "threshold"),
+)
+_fine_conv = jax.jit(
+    pcps.fine_doppler_conv,
+    static_argnames=("fs_hz", "n_int", "window_hz", "n_steps",
+                     "squaring"),
+)
+_search_fft = jax.jit(
+    pcps.pcps_search,
+    static_argnames=("fs_hz", "n_int", "threshold", "mode",
+                     "exclusion_samples", "pad_fft", "n_fft",
+                     "coherent"),
+)
+_fine_fft = jax.jit(
+    pcps.fine_doppler,
+    static_argnames=("fs_hz", "n_int", "zero_pad", "window_hz",
+                     "squaring"),
+)
 
 
 class SearchMode(enum.Enum):
@@ -102,7 +130,21 @@ class AcquisitionEngine:
         self.f_if_hz = f_if_hz
         self.n_fft = spec.samples_per_code(fs_hz)
         n_code_rows = 1 if cfg.fdma_spacing_hz else cfg.n_prn
-        if cfg.pad_fft:
+        engine = cfg.engine
+        if engine == "auto":
+            import jax
+
+            engine = ("conv" if jax.default_backend()
+                      not in ("cpu", "gpu") else "fft")
+        if engine not in ("fft", "conv"):
+            raise ValueError(f"unknown acquisition engine {engine!r}")
+        self.engine = engine
+        if engine == "conv" and cfg.detector != "peak_avg":
+            raise ValueError(
+                "engine='conv' supports the peak_avg detector only")
+        if engine == "conv":
+            self.code_ffts = None      # no FFT graphs on this backend
+        elif cfg.pad_fft:
             self.code_ffts = pcps.code_replica_ffts_padded(
                 spec, fs_hz, n_code_rows
             )
@@ -121,8 +163,10 @@ class AcquisitionEngine:
     @property
     def samples_needed(self) -> int:
         n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
-        # the pow2 linear path correlates two-period blocks: +1 period
-        return (n_int + (1 if self.cfg.pad_fft else 0)) * self.n_fft
+        # the pow2 and conv linear paths correlate two-period blocks:
+        # +1 trailing period
+        extra = 1 if (self.cfg.pad_fft or self.engine == "conv") else 0
+        return (n_int + extra) * self.n_fft
 
     def search(
         self,
@@ -178,40 +222,69 @@ class AcquisitionEngine:
             threshold, excl = cfg.cfar_scale, 0
         else:
             threshold, excl = cfg.detection_threshold, 0
-        res = pcps.pcps_search(
-            np.ascontiguousarray(samples, dtype=np.complex64),
-            self.code_ffts,
-            np.ascontiguousarray(grid, dtype=np.float32),
-            fs_hz=self.fs_hz,
-            n_int=n_int,
-            threshold=threshold,
-            mode=cfg.detector,
-            exclusion_samples=excl,
-            pad_fft=cfg.pad_fft,
-            n_fft=self.n_fft if cfg.pad_fft else None,
-            coherent=max(1, cfg.coherent_ms // self.spec.code_period_ms),
-        )
+        if self.engine == "conv":
+            res = _search_conv(
+                np.ascontiguousarray(np.real(samples), dtype=np.float32),
+                np.ascontiguousarray(np.imag(samples), dtype=np.float32),
+                self.code_samples,
+                np.ascontiguousarray(grid, dtype=np.float32),
+                fs_hz=self.fs_hz,
+                n_int=n_int,
+                threshold=threshold,
+            )
+        else:
+            res = _search_fft(
+                np.ascontiguousarray(samples, dtype=np.complex64),
+                self.code_ffts,
+                np.ascontiguousarray(grid, dtype=np.float32),
+                fs_hz=self.fs_hz,
+                n_int=n_int,
+                threshold=threshold,
+                mode=cfg.detector,
+                exclusion_samples=excl,
+                pad_fft=cfg.pad_fft,
+                n_fft=self.n_fft if cfg.pad_fft else None,
+                coherent=max(1, cfg.coherent_ms
+                             // self.spec.code_period_ms),
+            )
         detected = np.asarray(res.detected)
         if not detected.any():
             return []
 
         freqs = np.asarray(res.carrier_freq_hz)
         if self.cfg.fine_doppler:
-            fine = np.asarray(
-                pcps.fine_doppler(
-                    np.ascontiguousarray(samples, dtype=np.complex64),
-                    self.code_samples,
-                    res.code_phase_samples,
-                    res.carrier_freq_hz,
-                    fs_hz=self.fs_hz,
-                    n_int=n_int,
-                    zero_pad=self.cfg.fine_doppler_zero_pad,
-                    window_hz=self.cfg.doppler_step_hz,
-                    # secondary/NH modulation splits the coherent line;
-                    # wipe it by squaring
-                    squaring=self.spec.secondary_code is not None,
+            if self.engine == "conv":
+                fine = np.asarray(
+                    _fine_conv(
+                        np.ascontiguousarray(np.real(samples),
+                                             dtype=np.float32),
+                        np.ascontiguousarray(np.imag(samples),
+                                             dtype=np.float32),
+                        self.code_samples,
+                        res.code_phase_samples,
+                        res.carrier_freq_hz,
+                        fs_hz=self.fs_hz,
+                        n_int=n_int,
+                        window_hz=self.cfg.doppler_step_hz,
+                        squaring=self.spec.secondary_code is not None,
+                    )
                 )
-            )
+            else:
+                fine = np.asarray(
+                    _fine_fft(
+                        np.ascontiguousarray(samples, dtype=np.complex64),
+                        self.code_samples,
+                        res.code_phase_samples,
+                        res.carrier_freq_hz,
+                        fs_hz=self.fs_hz,
+                        n_int=n_int,
+                        zero_pad=self.cfg.fine_doppler_zero_pad,
+                        window_hz=self.cfg.doppler_step_hz,
+                        # secondary/NH modulation splits the coherent
+                        # line; wipe it by squaring
+                        squaring=self.spec.secondary_code is not None,
+                    )
+                )
             freqs = np.where(detected, fine, freqs)
 
         ratios = np.asarray(res.ratio)

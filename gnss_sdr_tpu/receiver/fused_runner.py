@@ -1,0 +1,219 @@
+"""Receiver-side driver for the fused whole-block tracking kernel.
+
+Bridges the Receiver's exact per-channel ledger (ChannelState: uint32
+carrier/chip accumulators, block-relative offsets) to the pallas fused
+kernel's [C, 128] f32 column state (ops/pallas/track_block_fused.py) and
+back, once per sample block:
+
+  host ChannelState --anchor--> [C,128] matrix + offsets + chip phases
+       -> jit( slice_windows + build_replicas + track_block_fused )
+       -> EpochTelemetry + re-absorbed ChannelState
+
+Re-anchoring each block keeps the cross-block bookkeeping exact (u32)
+while the in-block loop runs in f32 on-core — the fused kernel's design
+contract. Measured on one TPU v5e chip: 139x realtime for 32 channels
+vs 1.9x for the scanned XLA path (ROADMAP.md).
+
+Lifecycle corners handled here, not in the kernel:
+
+  * late handoffs: a channel whose offset leaves no room for T full
+    epochs in the buffer is deferred one block (its state passes
+    through untouched; after rebase it fits). The XLA path instead
+    runs partial epochs — one block of extra cold-start latency is the
+    cost of the fused path's static shape.
+  * offset walk: with a fixed T epochs per block, a channel's offset
+    moves by its accumulated drift each block. If it falls below the
+    el_pad preroll margin the channel skips forward one code period
+    (code phase is periodic, so only that single epoch is lost).
+  * v1 kernel scope: 'power' lock mode, no carrier aiding, no code
+    interpolation — enforced at construction.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrackConfig
+from ..models.constellation import SignalSpec
+from ..ops.pallas import track_block_fused as fused
+from . import tracking as trk
+
+_U32 = 4294967296.0
+N_DRIFT = 5
+
+
+class FusedTracker:
+    """Per-receiver instance wrapping the jitted fused block step."""
+
+    def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
+                 spec: SignalSpec, fs_hz: float, codes_sampled,
+                 t_epochs: int, buf_len: int):
+        if cfg.lock_mode != "power":
+            raise ValueError(
+                "correlator='fused' supports lock_mode='power' only")
+        if cfg.carrier_aiding or cfg.interp_code:
+            raise ValueError(
+                "correlator='fused' does not support carrier_aiding or "
+                "interp_code")
+        self.params = params
+        self.spec = spec
+        self.fs = fs_hz
+        self.n0 = params.samples_per_code_nominal
+        self.t_epochs = t_epochs
+        self.wp = ((params.window + 63 + 127) // 128) * 128
+        self.half = (N_DRIFT - 1) // 2
+        self.el_pad = params.el_shift + self.half
+        self.codes_sampled = jnp.asarray(codes_sampled)
+        # last offset that still fits T+1 nominal epochs + the window
+        self.max_offset = buf_len - (t_epochs * self.n0 + self.wp)
+        if self.max_offset <= self.el_pad + self.n0:
+            raise ValueError(
+                f"buffer too short for fused tracking: len={buf_len}, "
+                f"need > {t_epochs * self.n0 + self.wp + self.n0}")
+        p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
+        self._step = functools.partial(
+            _fused_block_step,
+            t_epochs=t_epochs, n0=self.n0, wp=self.wp,
+            el_pad=self.el_pad, el_shift=params.el_shift,
+            fs=fs_hz, code_len=float(spec.code_length_chips),
+            lock_threshold=cfg.lock_threshold,
+            max_lost=cfg.max_lost_epochs,
+            pll_c1=p1, pll_c2=p2, dll_c1=d1, dll_c2=d2,
+        )
+
+    # ------------------------------------------------------------------
+    def run_block(self, state: trk.ChannelState, block_re, block_im,
+                  codes_rows) -> tuple[trk.ChannelState,
+                                       trk.EpochTelemetry]:
+        """One fused block: T epochs for every eligible channel."""
+        c = int(state.active.shape[0])
+        active0 = np.asarray(state.active)
+        offset0 = np.asarray(state.offset).astype(np.int64).copy()
+        epochs0 = np.asarray(state.epochs).astype(np.int64)
+        cp0 = (np.asarray(state.chip_int).astype(np.float64)
+               + np.asarray(state.chip_frac_u32).astype(np.float64)
+               / _U32)
+
+        # offset-walk wrap: skip one code period when below the preroll
+        low = active0 & (offset0 < self.el_pad)
+        offset0[low] += self.n0
+        # defer channels that cannot fit T epochs this block
+        eligible = active0 & (offset0 <= self.max_offset)
+
+        mat = np.zeros((c, fused.N_FIELDS), np.float32)
+        mat[:, 0] = np.asarray(state.carr_freq)
+        mat[:, 1] = np.asarray(state.carr_acc).astype(np.float64) / _U32
+        mat[:, 2] = np.asarray(state.carr_err)
+        rate = np.asarray(state.code_rate).astype(np.float32)
+        mat[:, 3] = np.where(rate > 0, rate,
+                             np.float32(self.spec.code_rate_hz))
+        mat[:, 5] = np.asarray(state.code_err)
+        mat[:, 6] = np.asarray(state.lost_count)
+        mat[:, 7] = eligible.astype(np.float32)
+
+        telem_m, mat_out = self._step(
+            jnp.asarray(block_re), jnp.asarray(block_im),
+            jnp.asarray(np.where(eligible, offset0, 0), jnp.int32),
+            jnp.asarray(cp0, jnp.float32), codes_rows,
+            jnp.asarray(mat),
+        )
+        telem_m = np.asarray(telem_m)
+        mat_out = np.asarray(mat_out)
+
+        # ---- absorb kernel state back into the exact ledger ----------
+        el = eligible
+        cp_out = np.mod(cp0 + mat_out[:, 4].astype(np.float64),
+                        float(self.spec.code_length_chips))
+        chip_int = np.asarray(state.chip_int).copy()
+        chip_frac = np.asarray(state.chip_frac_u32).copy()
+        chip_int[el] = np.floor(cp_out[el]).astype(np.int32)
+        chip_frac[el] = np.minimum(
+            (cp_out[el] - np.floor(cp_out[el])) * _U32, _U32 - 1.0
+        ).astype(np.uint32)
+        processed = telem_m[:, :, 16] > 0.5           # [T, C]
+        n_proc = processed.sum(axis=0).astype(np.int64)
+
+        def merge(old, new, cast=None):
+            out = np.asarray(old).copy()
+            out[el] = new[el] if cast is None else new[el].astype(cast)
+            return out
+
+        new_state = state._replace(
+            active=jnp.asarray(merge(state.active, mat_out[:, 7] > 0.5)),
+            offset=jnp.asarray(merge(
+                np.where(low, offset0, np.asarray(state.offset)),
+                (offset0 + self.t_epochs * self.n0
+                 + mat_out[:, 8]).astype(np.int64), np.int32),
+                jnp.int32),
+            epochs=jnp.asarray(merge(state.epochs, epochs0 + n_proc,
+                                     np.int32), jnp.int32),
+            lost_count=jnp.asarray(merge(state.lost_count, mat_out[:, 6],
+                                         np.int32), jnp.int32),
+            carr_freq=jnp.asarray(merge(state.carr_freq, mat_out[:, 0])),
+            carr_acc=jnp.asarray(merge(
+                state.carr_acc,
+                np.mod(mat_out[:, 1].astype(np.float64), 1.0) * _U32,
+                np.uint32), jnp.uint32),
+            carr_err=jnp.asarray(merge(state.carr_err, mat_out[:, 2])),
+            code_rate=jnp.asarray(merge(state.code_rate, mat_out[:, 3])),
+            chip_int=jnp.asarray(chip_int, jnp.int32),
+            chip_frac_u32=jnp.asarray(chip_frac, jnp.uint32),
+            code_err=jnp.asarray(merge(state.code_err, mat_out[:, 5])),
+        )
+
+        # ---- telemetry NamedTuple [T, C] -----------------------------
+        t_idx = np.arange(self.t_epochs, dtype=np.int64)[:, None]
+        start_offset = offset0[None, :] + t_idx * self.n0 \
+            + telem_m[:, :, 13].astype(np.int64)
+        epoch_index = epochs0[None, :] + np.cumsum(processed, axis=0) \
+            - processed
+        chip_phase = np.mod(cp0[None, :] + telem_m[:, :, 14],
+                            float(self.spec.code_length_chips))
+        telem = trk.EpochTelemetry(
+            processed=jnp.asarray(processed),
+            i_e=jnp.asarray(telem_m[:, :, 0]),
+            q_e=jnp.asarray(telem_m[:, :, 1]),
+            i_p=jnp.asarray(telem_m[:, :, 2]),
+            q_p=jnp.asarray(telem_m[:, :, 3]),
+            i_l=jnp.asarray(telem_m[:, :, 4]),
+            q_l=jnp.asarray(telem_m[:, :, 5]),
+            power=jnp.asarray(telem_m[:, :, 6]),
+            locked=jnp.asarray(telem_m[:, :, 7] > 0.5),
+            lost_event=jnp.asarray(telem_m[:, :, 15] > 0.5),
+            pll_err=jnp.asarray(telem_m[:, :, 8]),
+            dll_err=jnp.asarray(telem_m[:, :, 9]),
+            carr_freq=jnp.asarray(telem_m[:, :, 10]),
+            code_rate=jnp.asarray(telem_m[:, :, 11]),
+            start_offset=jnp.asarray(start_offset, jnp.int32),
+            epoch_index=jnp.asarray(epoch_index, jnp.int32),
+            chip_phase=jnp.asarray(chip_phase, jnp.float32),
+        )
+        return new_state, telem
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_epochs", "n0", "wp", "el_pad", "el_shift", "fs",
+                     "code_len", "lock_threshold", "max_lost",
+                     "pll_c1", "pll_c2", "dll_c1", "dll_c2"),
+)
+def _fused_block_step(block_re, block_im, offsets, chip_phase,
+                      codes_rows, state_mat, *, t_epochs, n0, wp, el_pad,
+                      el_shift, fs, code_len, lock_threshold, max_lost,
+                      pll_c1, pll_c2, dll_c1, dll_c2):
+    wre, wim = fused.slice_windows(block_re, block_im, offsets,
+                                   t_epochs, n0, wp, el_pad)
+    cps = state_mat[:, 3] / jnp.float32(fs)
+    reps = fused.build_replicas(codes_rows, chip_phase, cps, el_shift,
+                                n0, wp, n_drift=N_DRIFT)
+    return fused.track_block_fused(
+        wre, wim, reps, state_mat, n0=n0, fs=fs, code_len=code_len,
+        lock_threshold=lock_threshold, max_lost=max_lost,
+        pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+        el_shift=el_shift,
+        interpret=jax.default_backend() == "cpu",
+    )

@@ -38,6 +38,14 @@ class Receiver:
         self.cfg = cfg
         self.source = source
         self.spec = get_signal(cfg.acq.signal)
+        # persistent XLA compile cache: the acquisition graphs take
+        # minutes to compile on a TPU backend; without this every fresh
+        # process pays it again (respects a user-set cache dir)
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update("jax_compilation_cache_dir",
+                               "/tmp/gnss_jax_cache")
 
         # Digital front end (reference L2): mixes out the IF and/or
         # decimates before the window, so everything downstream runs at
@@ -71,9 +79,9 @@ class Receiver:
             )
         self.epochs_per_block = cfg.block_ms // period
         self.block = self.epochs_per_block * n0
-        acq_len = (cfg.acq.non_coherent_ms // period) * n0
-        if cfg.acq.pad_fft:
-            acq_len += n0  # linear-correlation path reads 2-period blocks
+        self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs,
+                                        self.f_if)
+        acq_len = self.engine.samples_needed  # +1 period on linear paths
         self.acq_len = acq_len
         # history: the acquisition chunk plus tracking window slack must
         # stay addressable behind the frontier
@@ -99,7 +107,7 @@ class Receiver:
             self.mesh = par_mod.make_mesh(
                 n_time=par.time_axis, n_channel=par.channel_axis
             )
-        if cfg.track.correlator == "slice":
+        if cfg.track.correlator in ("slice", "fused"):
             self.codes_full = trk.make_sampled_code_table(
                 self.spec, self.fs, cfg.acq.n_prn,
                 window=self.params.window,
@@ -108,6 +116,19 @@ class Receiver:
             self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
         self.state = trk.init_state(cfg.track.n_channels)
         self.window = StreamWindow(self.history, self.block)
+        self.fused = None
+        if cfg.track.correlator == "fused":
+            if self.mesh is not None:
+                raise ValueError(
+                    "correlator='fused' does not compose with a device "
+                    "mesh yet; use channel sharding with 'slice'")
+            from .fused_runner import FusedTracker
+
+            self.fused = FusedTracker(
+                self.params, cfg.track, self.spec, self.fs,
+                self.codes_full, self.epochs_per_block,
+                self.history + self.block,
+            )
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
         self.scheduler = SearchScheduler(cfg.acq)
         self.telemetry = TelemetryLog(cfg.track.n_channels)
@@ -206,7 +227,13 @@ class Receiver:
             im = np.ascontiguousarray(
                 np.imag(self.window.buf), dtype=np.float32
             )
-            if self.mesh is not None:
+            if self.fused is not None and n_valid == self.block:
+                # fused pallas path: T static epochs, host re-anchors
+                # the exact ledger per block (receiver/fused_runner.py);
+                # partial tail blocks fall through to the scanned path
+                self.state, telem = self.fused.run_block(
+                    self.state, re, im, codes_ch)
+            elif self.mesh is not None:
                 from .. import parallel as par_mod
 
                 self.state, telem = par_mod.sharded_track_block(

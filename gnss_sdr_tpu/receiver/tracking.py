@@ -322,7 +322,7 @@ def epoch_step(
         1.0 / _U32_SCALE
     )
 
-    if p.correlator == "slice":
+    if p.correlator in ("slice", "fused"):
         sums = jax.vmap(
             functools.partial(
                 epl_correlate_one_slice, shift=p.el_shift,

@@ -1,0 +1,93 @@
+"""Receiver-level integration of the fused pallas tracking kernel
+(correlator='fused'): the full streaming pipeline — acquisition,
+handoff, block tracking with per-block exact-ledger re-anchor, nav
+telemetry, lifecycle — must behave like the scanned XLA path.
+(reference behavior: src/tracking/do_tracking.rs channel lifecycle)"""
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.config import ReceiverConfig, RfConfig, TrackConfig
+from gnss_sdr_tpu.models import GPS_L1CA, SatelliteScenario
+from gnss_sdr_tpu.receiver import Receiver, SyntheticSource
+
+FS = 2_046_000.0
+SCEN = [
+    SatelliteScenario(prn=5, doppler_hz=3210.0, amplitude=0.28),
+    SatelliteScenario(prn=12, doppler_hz=-1500.0, amplitude=0.30),
+]
+
+
+def _run(correlator, blocks=22, scen=SCEN, **track_kw):
+    src = SyntheticSource(scen, FS, noise_std=1.0, seed=11)
+    rx = Receiver(
+        ReceiverConfig(
+            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
+            track=TrackConfig(n_channels=4, correlator=correlator,
+                              **track_kw),
+            block_ms=20,
+        ),
+        src,
+    )
+    out = rx.run(max_blocks=blocks)
+    return rx, out
+
+
+class TestFusedReceiver:
+    def test_tracks_same_sats_as_slice(self):
+        _, out_f = _run("fused")
+        _, out_s = _run("slice")
+        assert out_f["tracked_prns"] == [5, 12]
+        assert out_f["tracked_prns"] == out_s["tracked_prns"]
+
+    def test_doppler_converges_to_truth(self):
+        rx, out = _run("fused", blocks=25)
+        for ch in out["channels"]:
+            truth = {5: 3210.0, 12: -1500.0}[ch["prn"]]
+            assert ch["last_doppler_hz"] == pytest.approx(truth, abs=5.0)
+
+    def test_chip_phase_telemetry_continuous(self):
+        """chip_phase (the pseudorange-critical observable) must advance
+        by ~code_rate/fs chips per sample with no block-boundary jumps
+        (the fused path re-anchors the exact ledger every block)."""
+        rx, _ = _run("fused", blocks=18)
+        checked = 0
+        for ch, nav in rx.nav.channels.items():
+            hist = nav._hist
+            keys = sorted(hist)[5:]
+            if len(keys) < 20:
+                continue
+            gs = np.array([hist[k][0] for k in keys], np.float64)
+            cp = np.array([hist[k][1] for k in keys], np.float64)
+            dcp = np.diff(cp)
+            dgs = np.diff(gs)
+            pred = dgs * (GPS_L1CA.code_rate_hz / FS)
+            err = np.mod(dcp - pred + 511.5, 1023.0) - 511.5
+            assert np.abs(err).max() < 0.51, (
+                "chip ledger discontinuity across fused blocks"
+            )
+            checked += 1
+        assert checked >= 2
+
+    def test_lost_channel_freed(self):
+        """A channel that loses lock inside the fused kernel must free
+        its PRN at the receiver level (lifecycle via telemetry col 15)."""
+        scen = [SatelliteScenario(prn=7, doppler_hz=800.0,
+                                  amplitude=0.0001)]
+        src = SyntheticSource(scen, FS, noise_std=1.0, seed=3)
+        rx = Receiver(
+            ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
+                track=TrackConfig(n_channels=2, correlator="fused",
+                                  max_lost_epochs=10),
+                block_ms=20,
+            ),
+            src,
+        )
+        rx.run(max_blocks=15)
+        assert rx.active == {}  # nothing (or nothing left) tracked
+
+    def test_rejects_unsupported_modes(self):
+        with pytest.raises(ValueError, match="carrier_aiding"):
+            _run("fused", blocks=1, carrier_aiding=True)
+        with pytest.raises(ValueError, match="lock_mode"):
+            _run("fused", blocks=1, lock_mode="costas_ema")

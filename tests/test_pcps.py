@@ -303,3 +303,57 @@ class TestConvPcps:
             assert float(conv_res.carrier_freq_hz[prn - 1]) == float(
                 fft_res.carrier_freq_hz[prn - 1]
             )
+
+
+class TestConvEngineReceiver:
+    def test_engine_conv_full_receiver(self):
+        """AcquisitionEngine engine='conv' + fine_doppler_conv +
+        correlator='fused': the complete restricted-backend receiver
+        stack (what runs on the axon TPU), exercised end to end on CPU."""
+        from gnss_sdr_tpu.config import (AcqConfig, ReceiverConfig,
+                                         RfConfig, TrackConfig)
+        from gnss_sdr_tpu.receiver import Receiver, SyntheticSource
+
+        fs = 2_046_000.0
+        scen = [SatelliteScenario(prn=4, doppler_hz=2222.0,
+                                  amplitude=0.3),
+                SatelliteScenario(prn=19, doppler_hz=-987.0,
+                                  amplitude=0.3)]
+        src = SyntheticSource(scen, fs, noise_std=1.0, seed=21)
+        rx = Receiver(ReceiverConfig(
+            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs),
+            acq=AcqConfig(engine="conv"),
+            track=TrackConfig(n_channels=4, correlator="fused"),
+            block_ms=20), src)
+        out = rx.run(max_blocks=22)
+        assert out["tracked_prns"] == [4, 19]
+        for ch in out["channels"]:
+            truth = {4: 2222.0, 19: -987.0}[ch["prn"]]
+            # fine_doppler_conv must land inside the Costas pull-in
+            assert abs(ch["last_doppler_hz"] - truth) < 8.0
+
+    def test_fine_doppler_conv_matches_fft(self):
+        """The FFT-free fine-Doppler refinement must agree with the
+        zero-padded-FFT version within grid resolution."""
+        import jax.numpy as jnp
+
+        fs = 2_046_000.0
+        n = GPS_L1CA.samples_per_code(fs)
+        true_dop = 1789.0
+        sig = synthesize([SatelliteScenario(prn=7, doppler_hz=true_dop,
+                                            amplitude=0.5)],
+                         11 * n, fs, noise_std=0.5, seed=9)
+        codes = jnp.asarray(np.stack([
+            GPS_L1CA.sample_code(7, GPS_L1CA.code_rate_hz, fs)
+        ]).astype(np.float32))
+        cp = jnp.asarray([0], jnp.int32)
+        coarse = jnp.asarray([2000.0], jnp.float32)
+        f_fft = float(pcps.fine_doppler(
+            sig[:10 * n].astype(np.complex64), codes, cp, coarse,
+            fs_hz=fs, n_int=10)[0])
+        f_conv = float(pcps.fine_doppler_conv(
+            np.real(sig[:10 * n]).astype(np.float32),
+            np.imag(sig[:10 * n]).astype(np.float32),
+            codes, cp, coarse, fs_hz=fs, n_int=10)[0])
+        assert abs(f_conv - true_dop) < 15.0
+        assert abs(f_conv - f_fft) < 15.0
