@@ -146,6 +146,83 @@ class BitSynchronizer:
         return None
 
 
+
+    def feed_array(self, i_prompts, epoch_indices):
+        """Vectorized feed of a block of consecutive prompts.
+
+        Semantically identical to calling feed() per epoch (the test
+        suite asserts bit-for-bit equality, including a sync transition
+        mid-block) but runs in a handful of numpy passes — the per-epoch
+        python loop was the receiver's host-side bottleneck at scale.
+        Returns the list of (bit, bit_start_epoch) completed here.
+        """
+        ip = np.asarray(i_prompts, np.float64)
+        ep = np.asarray(epoch_indices, np.int64)
+        n = ip.size
+        if n == 0:
+            return []
+        start = 0
+        if not self.synced:
+            prev = np.concatenate(([self._prev_ip], ip[:-1]))
+            flips = np.where(prev * ip < 0.0)[0]
+            ph = (ep[flips] % BIT_MS).astype(np.int64)
+            if ph.size:
+                onehot = ph[:, None] == np.arange(BIT_MS)[None, :]
+                cum = np.cumsum(onehot, axis=0)
+                crossed = onehot & (self.hist[None, :] + cum
+                                    >= self.threshold)
+                rows = np.nonzero(crossed.any(axis=1))[0]
+            else:
+                rows = np.empty(0, np.int64)
+            if rows.size == 0:
+                if ph.size:
+                    self.hist += cum[-1]
+                self._prev_ip = float(ip[-1])
+                return []
+            r = int(rows[0])
+            self.hist += cum[r]
+            self.synced = True
+            self.boundary_phase = int(ph[r])
+            self._acc = 0.0
+            self._acc_count = 0
+            start = int(flips[r]) + 1       # feed() consumed this epoch
+        if start >= n:
+            self._prev_ip = float(ip[-1])
+            return []
+
+        ip2, ep2 = ip[start:], ep[start:]
+        self._prev_ip = float(ip2[-1])
+        b = self.boundary_phase
+        bit_id = (ep2 - b) // BIT_MS
+        uniq, inv = np.unique(bit_id, return_inverse=True)
+        sums = np.zeros(uniq.size)
+        np.add.at(sums, inv, ip2)
+        counts = np.bincount(inv, minlength=uniq.size)
+        # fold in the carried partial bit (same group id as its start)
+        if self._acc_count and uniq.size:
+            carry_id = (getattr(self, "_bit_start", ep2[0]) - b) // BIT_MS
+            if uniq[0] == carry_id and (ep2[0] - b) % BIT_MS != 0:
+                sums[0] += self._acc
+                counts[0] += self._acc_count
+        out = []
+        for k in range(uniq.size):
+            if counts[k] == BIT_MS:
+                bit = 1 if sums[k] > 0 else -1
+                bit_start = int(uniq[k] * BIT_MS + b)
+                self.bits.append(bit)
+                self.bit_epochs.append(bit_start)
+                out.append((bit, bit_start))
+        # the trailing (possibly partial) group becomes the new carry
+        if counts[-1] < BIT_MS:
+            self._acc = float(sums[-1])
+            self._acc_count = int(counts[-1])
+            self._bit_start = int(uniq[-1] * BIT_MS + b)
+        else:
+            self._acc = 0.0
+            self._acc_count = 0
+        return out
+
+
 class FrameDecoder:
     """Preamble search + subframe assembly + parity verification.
 

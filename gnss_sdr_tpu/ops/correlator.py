@@ -190,10 +190,15 @@ def epl_correlate_one_slice(
     """
     w = re.shape[0]
 
-    # replica start: chip phase converted to nominal sample units
+    # replica start: chip phase converted to nominal sample units.
+    # FLOOR, not round: the sampled code table is floor-quantized
+    # (chip index = floor(phase)), so phases within one sample share a
+    # floor-anchored representative; round is half-a-sample inconsistent
+    # for half the phase range (and disagrees with the fused kernel's
+    # floor-based replica select, ops/pallas/track_block_fused.py)
     cp = chip_int.astype(jnp.float32) + chip_frac
     s_f = cp / chips_per_sample
-    s_i = jnp.round(s_f).astype(jnp.int32)
+    s_i = jnp.floor(s_f).astype(jnp.int32)
     n0_i = jnp.int32(n0)
     s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)   # wrap into [0, n0)
     s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)

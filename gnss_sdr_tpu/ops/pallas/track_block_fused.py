@@ -32,7 +32,9 @@ State columns: 0 carr_freq 1 carr_phase(cyc) 2 carr_err 3 code_rate
 4 chip_res(chips, residual vs block-start replica) 5 code_err
 6 lost_count 7 active 8 drift(samples) 9 window_offset(samples,
 shared-stream mode only: the channel's epoch start within the shared
-double-length window)
+double-length window) 10 frac0(chips, block-start replica rounding
+residual — the in-kernel replica select subtracts it so the replica
+follows the chip ledger in integer samples)
 
 Telemetry columns: 0 i_e 1 q_e 2 i_p 3 q_p 4 i_l 5 q_l 6 power
 7 locked 8 pll_err 9 dll_err 10 carr_freq 11 code_rate 12 n_t 13 drift
@@ -113,6 +115,8 @@ def _kernel(
     active = col(7)
     drift = col(8)
     woff = col(9)          # resident mode: shared-window channel offset
+    frac0 = col(10)        # chips: block-start replica quantization
+                           # residual, cp0 - round(cp0/dc0)*dc0
 
     fs_f = jnp.float32(fs)
     dc = code_rate / fs_f                              # [C, 1]
@@ -178,15 +182,24 @@ def _kernel(
     re_w = (wre * cth + wim * sth) * mask
     im_w = (wim * cth - wre * sth) * mask
 
-    # replica variant select: drift d in [-half, half]. Only PROMPT
-    # variants are stored; early/late are exact +/-el_shift sample
-    # shifts of the prompt, realized as static circular rolls — the
-    # masked window zeroes every wrapped term (the epoch body sits
-    # >= el_shift lanes from the window ends), so the roll equals the
-    # true shifted replica. 3x less replica VMEM and select work.
+    # replica variant select. The replica must FOLLOW the code-phase
+    # ledger inside the block (the XLA path re-rounds the replica from
+    # the ledger every epoch): with a per-block replica only, the DLL
+    # would measure a misalignment it cannot correct, integrate it into
+    # code_rate, and the re-anchor would absorb the fictitious motion —
+    # a positive-feedback runaway (observed: prompt power collapse
+    # after ~1-2 s). The variant index tracks the accumulated code
+    # residual in integer samples: shift = drift - round((chip_res +
+    # frac0) / dc); the DLL handles the sub-sample remainder exactly as
+    # in the scanned path. Only PROMPT variants are stored; early/late
+    # are exact +/-el_shift sample shifts of the prompt, realized as
+    # static circular rolls — the masked window zeroes every wrapped
+    # term (the epoch body sits >= el_shift lanes from the window
+    # ends), so the roll equals the true shifted replica.
+    shift = drift - jnp.floor((chip_res + frac0) / dc)
     prompt = jnp.zeros((drift.shape[0], wp), jnp.float32)
     for d in range(n_drift):
-        sel_d = (drift == jnp.float32(d - half)).astype(jnp.float32)
+        sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
         prompt = prompt + sel_d * reps_ref[:, d, :]
     early = pltpu.roll(prompt, wp - el_shift, 1)  # early[l] = prompt[l+el]
     late = pltpu.roll(prompt, el_shift, 1)        # late[l]  = prompt[l-el]
@@ -254,6 +267,7 @@ def _kernel(
         (7, new_active),
         (8, sel(new_drift, drift)),
         (9, woff),
+        (10, frac0),
     ])
 
     wr = jnp.where(act, 1.0, 0.0)
@@ -463,8 +477,13 @@ def build_replicas_shared(codes4x, chip_phase, chips_per_sample,
     seg_len = wp + 2 * margin
     out = []
     for c in range(codes4x.shape[0]):          # static unroll over C
+        # FLOOR, not round: sampled signals/tables are floor-quantized
+        # (code[floor(phase)]), so phases within one sample of code are
+        # an equivalence class starting at the floor boundary; a round
+        # anchor is half-a-sample inconsistent with the in-kernel
+        # floor-based shift and walks the DLL off the peak
         s_f = chip_phase[c] / chips_per_sample[c]
-        s_i = jnp.round(s_f).astype(jnp.int32)
+        s_i = jnp.floor(s_f).astype(jnp.int32)
         n0_i = jnp.int32(n0)
         s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)
         s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)
@@ -535,8 +554,13 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
     seg_len = wp + 2 * half
     out = []
     for c in range(codes3x.shape[0]):          # static unroll over C
+        # FLOOR, not round: sampled signals/tables are floor-quantized
+        # (code[floor(phase)]), so phases within one sample of code are
+        # an equivalence class starting at the floor boundary; a round
+        # anchor is half-a-sample inconsistent with the in-kernel
+        # floor-based shift and walks the DLL off the peak
         s_f = chip_phase[c] / chips_per_sample[c]
-        s_i = jnp.round(s_f).astype(jnp.int32)
+        s_i = jnp.floor(s_f).astype(jnp.int32)
         n0_i = jnp.int32(n0)
         s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)
         s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)

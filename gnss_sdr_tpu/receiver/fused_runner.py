@@ -114,6 +114,11 @@ class FusedTracker:
         mat[:, 5] = np.asarray(state.code_err)
         mat[:, 6] = np.asarray(state.lost_count)
         mat[:, 7] = eligible.astype(np.float32)
+        # replica rounding residual: the kernel's in-block replica
+        # select must know how far the block-start replica sits from
+        # the true ledger phase (see kernel state col 10)
+        dc0 = mat[:, 3].astype(np.float64) / self.fs
+        mat[:, 10] = (cp0 - np.floor(cp0 / dc0) * dc0).astype(np.float32)
 
         telem_m, mat_out = self._step(
             jnp.asarray(block_re), jnp.asarray(block_im),
@@ -142,27 +147,27 @@ class FusedTracker:
             out[el] = new[el] if cast is None else new[el].astype(cast)
             return out
 
+        # numpy-backed state between fused blocks: the host re-anchors
+        # every block anyway, so round-tripping 13 small arrays through
+        # the device per block is pure transfer overhead
         new_state = state._replace(
-            active=jnp.asarray(merge(state.active, mat_out[:, 7] > 0.5)),
-            offset=jnp.asarray(merge(
-                np.where(low, offset0, np.asarray(state.offset)),
+            active=merge(state.active, mat_out[:, 7] > 0.5),
+            offset=merge(
+                offset0.astype(np.int32),
                 (offset0 + self.t_epochs * self.n0
                  + mat_out[:, 8]).astype(np.int64), np.int32),
-                jnp.int32),
-            epochs=jnp.asarray(merge(state.epochs, epochs0 + n_proc,
-                                     np.int32), jnp.int32),
-            lost_count=jnp.asarray(merge(state.lost_count, mat_out[:, 6],
-                                         np.int32), jnp.int32),
-            carr_freq=jnp.asarray(merge(state.carr_freq, mat_out[:, 0])),
-            carr_acc=jnp.asarray(merge(
+            epochs=merge(state.epochs, epochs0 + n_proc, np.int32),
+            lost_count=merge(state.lost_count, mat_out[:, 6], np.int32),
+            carr_freq=merge(state.carr_freq, mat_out[:, 0]),
+            carr_acc=merge(
                 state.carr_acc,
                 np.mod(mat_out[:, 1].astype(np.float64), 1.0) * _U32,
-                np.uint32), jnp.uint32),
-            carr_err=jnp.asarray(merge(state.carr_err, mat_out[:, 2])),
-            code_rate=jnp.asarray(merge(state.code_rate, mat_out[:, 3])),
-            chip_int=jnp.asarray(chip_int, jnp.int32),
-            chip_frac_u32=jnp.asarray(chip_frac, jnp.uint32),
-            code_err=jnp.asarray(merge(state.code_err, mat_out[:, 5])),
+                np.uint32),
+            carr_err=merge(state.carr_err, mat_out[:, 2]),
+            code_rate=merge(state.code_rate, mat_out[:, 3]),
+            chip_int=chip_int.astype(np.int32),
+            chip_frac_u32=chip_frac.astype(np.uint32),
+            code_err=merge(state.code_err, mat_out[:, 5]),
         )
 
         # ---- telemetry NamedTuple [T, C] -----------------------------
@@ -173,24 +178,29 @@ class FusedTracker:
             - processed
         chip_phase = np.mod(cp0[None, :] + telem_m[:, :, 14],
                             float(self.spec.code_length_chips))
+        # numpy-backed telemetry: the [T, C, 128] matrix was downloaded
+        # once above; wrapping fields back into device arrays would cost
+        # 17 re-uploads per block and 17 re-downloads in the host-side
+        # telemetry/nav consumers (ruinous over a remote device
+        # transport) for zero benefit — every consumer is numpy
         telem = trk.EpochTelemetry(
-            processed=jnp.asarray(processed),
-            i_e=jnp.asarray(telem_m[:, :, 0]),
-            q_e=jnp.asarray(telem_m[:, :, 1]),
-            i_p=jnp.asarray(telem_m[:, :, 2]),
-            q_p=jnp.asarray(telem_m[:, :, 3]),
-            i_l=jnp.asarray(telem_m[:, :, 4]),
-            q_l=jnp.asarray(telem_m[:, :, 5]),
-            power=jnp.asarray(telem_m[:, :, 6]),
-            locked=jnp.asarray(telem_m[:, :, 7] > 0.5),
-            lost_event=jnp.asarray(telem_m[:, :, 15] > 0.5),
-            pll_err=jnp.asarray(telem_m[:, :, 8]),
-            dll_err=jnp.asarray(telem_m[:, :, 9]),
-            carr_freq=jnp.asarray(telem_m[:, :, 10]),
-            code_rate=jnp.asarray(telem_m[:, :, 11]),
-            start_offset=jnp.asarray(start_offset, jnp.int32),
-            epoch_index=jnp.asarray(epoch_index, jnp.int32),
-            chip_phase=jnp.asarray(chip_phase, jnp.float32),
+            processed=processed,
+            i_e=telem_m[:, :, 0],
+            q_e=telem_m[:, :, 1],
+            i_p=telem_m[:, :, 2],
+            q_p=telem_m[:, :, 3],
+            i_l=telem_m[:, :, 4],
+            q_l=telem_m[:, :, 5],
+            power=telem_m[:, :, 6],
+            locked=telem_m[:, :, 7] > 0.5,
+            lost_event=telem_m[:, :, 15] > 0.5,
+            pll_err=telem_m[:, :, 8],
+            dll_err=telem_m[:, :, 9],
+            carr_freq=telem_m[:, :, 10],
+            code_rate=telem_m[:, :, 11],
+            start_offset=start_offset.astype(np.int32),
+            epoch_index=epoch_index.astype(np.int32),
+            chip_phase=chip_phase.astype(np.float32),
         )
         return new_state, telem
 

@@ -89,6 +89,41 @@ class ChannelNav:
             )
         return sf
 
+    def feed_array(self, i_prompts, epochs, global_samples,
+                   chip_phases, carr_freqs) -> list:
+        """Vectorized feed of one block's processed epochs for this
+        channel; equivalent to feed_epoch per row (bit sync is numpy-
+        vectorized; the rare completed bits and subframes stay in
+        python). Returns completed Subframes."""
+        self._hist.update(zip(
+            (int(e) for e in epochs),
+            zip((int(g) for g in global_samples),
+                (float(c) for c in chip_phases),
+                (float(f) for f in carr_freqs)),
+        ))
+        if len(self._hist) > 8000:
+            for k in sorted(self._hist)[:2000]:
+                del self._hist[k]
+        out = []
+        g_last = int(global_samples[-1]) if len(global_samples) else 0
+        for bit, bit_epoch in self.bit_sync.feed_array(i_prompts, epochs):
+            sf = self.frames.feed(bit)
+            if sf is None:
+                continue
+            self.subframe_count += 1
+            sf_bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
+            g0, cp0, _ = self._hist.get(sf_bit_epoch, (g_last, 0.0, 0.0))
+            cp0_signed = cp0 if cp0 < self.code_length / 2 \
+                else cp0 - self.code_length
+            self.anchor = TimeAnchor(
+                epoch=sf_bit_epoch,
+                global_sample=g0,
+                tow_s=sf.tow_s - 6.0 + cp0_signed / self.code_rate,
+                chip_phase=cp0,
+            )
+            out.append(sf)
+        return out
+
     def smoothed_transmit_time(
         self, epoch: int, fs_hz: float, f_if_hz: float,
         carrier_freq_hz: float, window: int = 100,
@@ -174,18 +209,19 @@ class NavProcessor:
         carr = np.asarray(telem.carr_freq)
         for ch, nav in self.channels.items():
             rows = np.where(processed[:, ch])[0]
-            for t in rows:
-                e = int(epochs[t, ch])
-                g = window_global_start + int(offsets[t, ch])
-                cp = float(chips[t, ch])
-                sf = nav.feed_epoch(
-                    float(i_p[t, ch]), e, g, cp, float(carr[t, ch])
-                )
-                self.latest[ch] = (e, g, cp)
-                if sf is not None:
-                    eph = self.assembler.feed(nav.prn, sf)
-                    if eph is not None:
-                        self.ephemerides[nav.prn] = eph
+            if rows.size == 0:
+                continue
+            g_rows = window_global_start + offsets[rows, ch].astype(
+                np.int64)
+            e_rows = epochs[rows, ch]
+            cp_rows = chips[rows, ch]
+            for sf in nav.feed_array(i_p[rows, ch], e_rows, g_rows,
+                                     cp_rows, carr[rows, ch]):
+                eph = self.assembler.feed(nav.prn, sf)
+                if eph is not None:
+                    self.ephemerides[nav.prn] = eph
+            self.latest[ch] = (int(e_rows[-1]), int(g_rows[-1]),
+                               float(cp_rows[-1]))
 
     def status(self) -> dict:
         return {

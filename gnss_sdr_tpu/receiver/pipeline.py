@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -247,6 +248,9 @@ class Receiver:
                     self.epochs_per_block + 1,
                     valid_len=np.int32(self.history + n_valid),
                 )
+            # sync here so stage timings attribute device compute to
+            # 'track', not to the first np.asarray in the nav stage
+            jax.block_until_ready(telem)
 
         with self.timers.stage("nav", self.block):
             self.telemetry.append_block(telem, self.window.global_start)

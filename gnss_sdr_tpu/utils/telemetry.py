@@ -79,15 +79,21 @@ class TelemetryLog:
         }
         for ch, trace in self.traces.items():
             rows = np.where(processed[:, ch])[0]
-            for t in rows:
-                trace.epoch_index.append(int(fields["epoch_index"][t, ch]))
-                trace.global_sample.append(
-                    window_global_start + int(fields["start_offset"][t, ch])
-                )
-                for name in ("i_p", "q_p", "i_e", "q_e", "i_l", "q_l",
-                             "carr_freq", "code_rate"):
-                    getattr(trace, name).append(float(fields[name][t, ch]))
-                trace.locked.append(bool(fields["locked"][t, ch]))
+            if rows.size == 0:
+                continue
+            # column-wise C-level extends, not a python loop per epoch
+            trace.epoch_index.extend(
+                fields["epoch_index"][rows, ch].astype(int).tolist())
+            trace.global_sample.extend(
+                (window_global_start
+                 + fields["start_offset"][rows, ch].astype(np.int64))
+                .tolist())
+            for name in ("i_p", "q_p", "i_e", "q_e", "i_l", "q_l",
+                         "carr_freq", "code_rate"):
+                getattr(trace, name).extend(
+                    fields[name][rows, ch].astype(float).tolist())
+            trace.locked.extend(
+                fields["locked"][rows, ch].astype(bool).tolist())
 
     def all_traces(self) -> list[ChannelTrace]:
         return list(self.traces.values()) + self.closed

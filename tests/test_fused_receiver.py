@@ -91,3 +91,32 @@ class TestFusedReceiver:
             _run("fused", blocks=1, carrier_aiding=True)
         with pytest.raises(ValueError, match="lock_mode"):
             _run("fused", blocks=1, lock_mode="costas_ema")
+
+    def test_long_run_power_and_bits(self):
+        """Regression for the replica re-anchor runaway: with a per-
+        block replica and a round (not floor) anchor, the DLL integrated
+        phantom misalignment and prompt power collapsed after ~1.5 s.
+        Hold full power for 4 s and recover the broadcast bit sequence
+        exactly, across code-Doppler signs."""
+        rng = np.random.default_rng(4)
+        bits = rng.choice([1.0, -1.0], 400)
+        for dop in (0.0, -3100.0):
+            scen = [SatelliteScenario(prn=5, doppler_hz=dop,
+                                      amplitude=0.35, nav_bits=bits)]
+            src = SyntheticSource(scen, FS, noise_std=0.5, seed=4)
+            rx = Receiver(ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
+                track=TrackConfig(n_channels=2, correlator="fused"),
+                block_ms=100), src)
+            rx.run(max_blocks=40)
+            tr = list(rx.telemetry.traces.values())[0]
+            ip = np.abs(np.array(tr.i_p))
+            head = ip[:800].mean()
+            tail = ip[-800:].mean()
+            assert tail > 0.9 * head, (dop, head, tail)
+            ch = list(rx.nav.channels.values())[0]
+            got = np.array(ch.bit_sync.bits, float)
+            assert got.size > 100
+            c = np.correlate(bits, got, mode="valid")
+            match = np.abs(c).max() / got.size
+            assert match > 0.99, (dop, match)
