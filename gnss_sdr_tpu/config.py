@@ -98,6 +98,18 @@ class AcqConfig:
     # power-of-two linear-correlation FFTs (TPU FFT kernels strongly
     # favor pow2 sizes; costs one extra code period of samples)
     pad_fft: bool = False
+    # coarse-to-fine search (conv engine): stage 1 searches boxcar-
+    # decimated samples (~1 sample/chip BPSK, 2/chip BOC), stage 2
+    # refines the winners' code phase at full rate. 0 = auto-pick the
+    # largest decimation that divides samples/code and respects the
+    # floor above; 1 = disabled (always full rate); N = force N.
+    # Sensitivity note: the coarse stage costs up to ~2-3 dB of
+    # detection margin at 1 sample/chip (peak scalloping); set 1 for
+    # weak-signal work.
+    coarse_decim: int = 0
+    # matched-filter segmentation width for the conv engine (taps per
+    # input channel; 128 lowers at full MXU matmul rate on v5e)
+    seg_width: int = 128
     # FDMA (GLONASS): satellites share one code and are separated by
     # carrier channel k * spacing; acquisition searches each channel's
     # sub-grid and reports pseudo-PRN = channel index + 1

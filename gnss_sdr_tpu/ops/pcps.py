@@ -212,6 +212,7 @@ def pcps_power_conv(
     fs_hz: float,
     n_int: int,
     sample_offset=0,
+    seg_width: int = 128,
 ) -> jax.Array:
     """FFT-free PCPS power cube [P, D, N] via MXU convolution.
 
@@ -223,6 +224,19 @@ def pcps_power_conv(
     matmul, and f32 elementwise only — no jnp.fft, no complex dtype);
     it is also a genuinely TPU-native alternative wherever matmul
     throughput beats FFT throughput.
+
+    The N-tap filter is split into ``n_seg = ceil(N / seg_width)``
+    segments presented to XLA as input channels (filter [P, n_seg,
+    seg_width] over blocks [B, n_seg, N + seg_width - 1]) — identical
+    math (zero-padded taps contribute nothing), but the short-filter
+    multi-channel shape lowers onto the MXU at full matmul rate where
+    the single-channel N-tap filter ran ~2x slower (measured on v5e).
+
+    bf16 inputs, f32 accumulation: the MXU runs bf16 at a multiple of
+    its f32 rate and the detection statistic is a peak/avg RATIO over
+    N-point sums — a ~3-decimal-digit mantissa per product is far
+    inside the noise floor of the post-correlation SNR at any
+    detectable C/N0.
 
     Linear correlation over two-period blocks (like pcps_power_padded):
     needs one extra code period of trailing samples; lags 0..N-1 exact.
@@ -237,41 +251,139 @@ def pcps_power_conv(
     phase = nco.phase_ramp(acc0, step, length)              # [D, L+N]
     c, s = nco.cis(phase)
     # planar mix: (I + jQ) e^{-j t} without complex dtype
-    xre = samples_re[None, :] * c + samples_im[None, :] * s
-    xim = samples_im[None, :] * c - samples_re[None, :] * s
+    xre = samples_re[None, :length] * c + samples_im[None, :length] * s
+    xim = samples_im[None, :length] * c - samples_re[None, :length] * s
 
-    def blocks(x):
-        # [D, L+N] -> [D * n_int, 1, 2N] two-period blocks
-        cols = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(x, k * n_fft, 2 * n_fft, axis=1)
-                for k in range(n_int)
-            ],
-            axis=1,
-        )                                                    # [D, n_int, 2N]
-        return cols.reshape(d * n_int, 1, 2 * n_fft)
+    n_seg = -(-n_fft // seg_width)
+    npad = n_seg * seg_width
+    pad = npad - n_fft
+    if pad:
+        z = jnp.zeros((d, pad), xre.dtype)
+        xre = jnp.concatenate([xre, z], axis=1)
+        xim = jnp.concatenate([xim, z], axis=1)
+    filt = jnp.pad(codes, ((0, 0), (0, pad))).reshape(
+        n_prn, n_seg, seg_width).astype(jnp.bfloat16)
 
-    filt = codes[:, None, :]                                 # [P, 1, N]
+    win = n_fft + seg_width - 1
+
+    def blocks(m):
+        # [D, L(+pad)] -> [D * n_int, n_seg, N + S - 1]: row (k, j)
+        # holds m[kN + Sj : kN + Sj + N + S - 1], so a VALID conv with
+        # the S-tap segment j sums code[S*j + m'] * x[kN + l + S*j + m']
+        # over m' — summed over j (input channels) this is the full
+        # N-tap correlation at lags l = 0..N-1.
+        rows = []
+        for k in range(n_int):
+            segs = [
+                jax.lax.dynamic_slice_in_dim(
+                    m, k * n_fft + seg_width * j, win, axis=1)
+                for j in range(n_seg)
+            ]
+            rows.append(jnp.stack(segs, axis=1))
+        return jnp.stack(rows, axis=1).reshape(
+            d * n_int, n_seg, win).astype(jnp.bfloat16)
 
     def correlate(x):
-        # valid lags 0..N-1 of x (2N) against code (N): padding VALID
-        # on 2N input with N filter -> N+1 outputs; take first N.
-        # bf16 inputs, f32 accumulation: the MXU runs bf16 at a
-        # multiple of its f32 rate and the detection statistic is a
-        # peak/avg RATIO over N-point sums — a ~3-decimal-digit
-        # mantissa per product is far inside the noise floor of the
-        # post-correlation SNR at any detectable C/N0.
-        out = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), filt.astype(jnp.bfloat16),
-            window_strides=(1,), padding="VALID",
+        return jax.lax.conv_general_dilated(
+            x, filt, window_strides=(1,), padding="VALID",
             preferred_element_type=jnp.float32,
-        )                                                    # [B, P, N+1]
-        return out[..., :n_fft]
+        )                                                    # [B, P, N]
 
     cr = correlate(blocks(xre)).reshape(d, n_int, n_prn, n_fft)
     ci = correlate(blocks(xim)).reshape(d, n_int, n_prn, n_fft)
     power = (cr * cr + ci * ci).sum(axis=1)                  # [D, P, N]
     return jnp.moveaxis(power, 0, 1)                         # [P, D, N]
+
+
+def decimate_mean(samples_re: jax.Array, samples_im: jax.Array, r: int):
+    """Boxcar (integrate-and-dump) decimation by ``r`` of planar IQ.
+
+    The coarse acquisition front end: averaging r consecutive samples
+    is a crude but adequate anti-alias filter for a search at ~1
+    sample/chip (the code mainlobe is preserved; worst-case scalloping
+    loss at 1 sample/chip is ~2-3 dB, recovered by the full-rate
+    refinement stage)."""
+    if r == 1:
+        return samples_re, samples_im
+    n = (samples_re.shape[-1] // r) * r
+    re = samples_re[..., :n].reshape(-1, r).mean(axis=-1)
+    im = samples_im[..., :n].reshape(-1, r).mean(axis=-1)
+    return re, im
+
+
+def refine_lags(
+    samples_re: jax.Array,     # [(n_int + 1) * N] f32, full rate
+    samples_im: jax.Array,
+    codes: jax.Array,          # [P, N] f32 full-rate replicas
+    coarse_lags: jax.Array,    # [P] i32 full-rate lag estimates
+    carrier_freqs: jax.Array,  # [P] f32 per-PRN carrier (f_if + doppler)
+    *,
+    fs_hz: float,
+    n_int: int,
+    half_width: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Full-rate code-phase refinement around coarse lag estimates.
+
+    Stage 2 of the coarse-to-fine search: the decimated stage 1 locates
+    the peak to +- half a coarse sample; this evaluates the full-rate
+    correlation at the ``2 * half_width + 1`` lags around each coarse
+    estimate (tiny: P * n_int * W * N MACs) and returns the refined
+    integer lags [P] plus the refined peak power [P].
+
+    Gather-free / argmax-free (axon-compatible): windows come from
+    vmapped dynamic slices, the peak via max + mask-weighted iota.
+    """
+    n_fft = codes.shape[-1]
+    w = 2 * half_width + 1
+    tail = jnp.zeros((w,), samples_re.dtype)
+    xre = jnp.concatenate([samples_re, tail])
+    xim = jnp.concatenate([samples_im, tail])
+
+    step = nco.freq_to_step(carrier_freqs, fs_hz)           # [P]
+    phase = nco.phase_ramp(jnp.zeros_like(step), step, xre.shape[-1])
+    c, s = nco.cis(phase)
+    mre = xre[None, :] * c + xim[None, :] * s               # [P, L]
+    mim = xim[None, :] * c - xre[None, :] * s
+
+    # window start lag may go negative by up to half_width; the code is
+    # periodic, so wrap it into [0, n_fft) instead (select-wrap — no
+    # integer mod on the restricted backend). Window k then starts at
+    # k*n_fft + l0 <= n_int*n_fft - 1, and the w-zero tail only shaves
+    # <= w trailing samples off the last window of boundary lags
+    # (~w / (n_int * n_fft) relative power error, well under the
+    # detection margin).
+    lag0 = coarse_lags - half_width
+    lag0 = jnp.where(lag0 < 0, lag0 + n_fft, lag0)
+    win = n_fft + w - 1
+
+    def windows(m):
+        def one(row, l0):
+            return jnp.stack([
+                jax.lax.dynamic_slice(
+                    row, (jnp.int32(k * n_fft) + l0,), (win,))
+                for k in range(n_int)
+            ])
+        return jax.vmap(one)(m, lag0)                        # [P, K, win]
+
+    wre = windows(mre)
+    wim = windows(mim)
+    # W shifted dot products; W is small so unrolled slices beat
+    # materializing a [P, K, W, N] cube
+    powers = []
+    for v in range(w):
+        cr = jnp.einsum("pkn,pn->pk", wre[..., v:v + n_fft], codes)
+        ci = jnp.einsum("pkn,pn->pk", wim[..., v:v + n_fft], codes)
+        powers.append((cr * cr + ci * ci).sum(axis=1))
+    power = jnp.stack(powers, axis=1)                        # [P, W]
+    peak = power.max(axis=-1)
+    mask = (power == peak[:, None]).astype(jnp.float32)
+    mask = mask / jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    off = (mask * iota).sum(-1).astype(jnp.int32)
+    lags = lag0 + off
+    lags = jnp.where(lags < 0, lags + n_fft, lags)
+    lags = jnp.where(lags >= n_fft, lags - n_fft, lags)
+    return lags, peak
 
 
 def detect_real(
@@ -307,7 +419,7 @@ def detect_real(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs_hz", "n_int", "threshold")
+    jax.jit, static_argnames=("fs_hz", "n_int", "threshold", "seg_width")
 )
 def pcps_search_conv(
     samples_re: jax.Array,
@@ -318,13 +430,92 @@ def pcps_search_conv(
     fs_hz: float,
     n_int: int,
     threshold: float = 7.0,
+    seg_width: int = 128,
 ) -> AcqResults:
     """Complete FFT-free, gather-free, complex-free PCPS search."""
     power = pcps_power_conv(
         samples_re, samples_im, codes, carrier_freqs,
-        fs_hz=fs_hz, n_int=n_int,
+        fs_hz=fs_hz, n_int=n_int, seg_width=seg_width,
     )
     return detect_real(power, carrier_freqs, threshold)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs_hz", "n_int", "decim", "threshold", "seg_width",
+        "fine", "fine_window_hz", "fine_steps", "fine_squaring",
+    ),
+)
+def acquire_conv(
+    samples_re: jax.Array,     # [(n_int + 1) * N] f32, full rate
+    samples_im: jax.Array,
+    codes: jax.Array,          # [P, N] f32 full-rate replicas
+    codes_coarse: jax.Array,   # [P, N / decim] f32 boxcar-decimated
+    sel: jax.Array,            # [B, P] f32 row-selection matrix
+    carrier_freqs: jax.Array,  # [D] f32 = f_if + doppler grid
+    *,
+    fs_hz: float,
+    n_int: int,
+    decim: int,
+    threshold: float,
+    seg_width: int = 128,
+    fine: bool = True,
+    fine_window_hz: float = 500.0,
+    fine_steps: int = 129,
+    fine_squaring: bool = False,
+) -> AcqResults:
+    """Whole acquisition — coarse search, full-rate lag refinement, fine
+    Doppler — as ONE jitted dispatch.
+
+    Three design rules, all measured on the axon v5e tunnel:
+
+    * everything is an argument (a closure-captured constant costs
+      ~1.5 ms per call on this backend; args are free),
+    * one dispatch per search (each jitted call pays a tunnel round
+      trip; fusing search + refine + fine Doppler collapses three),
+    * PRN bucketing by selection matmul: ``sel @ codes`` subsets the
+      replica batch to the scheduler's untracked candidates on-device
+      (gather is unsupported; a [B, P] one-hot matmul is MXU-free
+      lunch), so steady-state searches pay for B rows, not n_prn.
+
+    Stage 1 searches boxcar-decimated samples against boxcar-decimated
+    replicas — conv MACs scale as N^2, so decim=r cuts the dominant
+    cost r^2x. Stage 2 (decim > 1) re-evaluates the full-rate
+    correlation on the +-decim lags around each coarse peak. The
+    detection ratio is the coarse-stage statistic (peak/avg over the
+    decimated cube); peak_power and code_phase_samples are full-rate
+    refined. Reference detector semantics: do_acquisition.rs:229-238.
+    """
+    codes_b = sel @ codes                                   # [B, N]
+    if decim > 1:
+        codes_cb = sel @ codes_coarse                       # [B, N/r]
+        red, imd = decimate_mean(samples_re, samples_im, decim)
+    else:
+        codes_cb = codes_b
+        red, imd = samples_re, samples_im
+    power = pcps_power_conv(
+        red, imd, codes_cb, carrier_freqs,
+        fs_hz=fs_hz / decim, n_int=n_int, seg_width=seg_width,
+    )
+    res = detect_real(power, carrier_freqs, threshold)
+    if decim > 1:
+        lags, peak = refine_lags(
+            samples_re, samples_im, codes_b,
+            res.code_phase_samples * decim, res.carrier_freq_hz,
+            fs_hz=fs_hz, n_int=n_int, half_width=decim,
+        )
+        res = res._replace(code_phase_samples=lags, peak_power=peak)
+    if fine:
+        freqs = fine_doppler_conv(
+            samples_re, samples_im, codes_b,
+            res.code_phase_samples, res.carrier_freq_hz,
+            fs_hz=fs_hz, n_int=n_int,
+            window_hz=fine_window_hz, n_steps=fine_steps,
+            squaring=fine_squaring,
+        )
+        res = res._replace(carrier_freq_hz=freqs)
+    return res
 
 
 def fine_doppler_conv(
@@ -370,11 +561,10 @@ def fine_doppler_conv(
     i = jnp.arange(length, dtype=jnp.float32)
     xre = samples_re[:length]
     xim = samples_im[:length]
-    outs = []
-    for k in range(p):                    # static unroll over PRNs
-        rep = jnp.roll(code_samples[k], code_phase[k])
+
+    def one(code, cp, f0):
+        rep = jnp.roll(code, cp)
         rep_long = jnp.tile(rep, n_int)
-        f0 = coarse_freq[k]
         theta = f0 / jnp.float32(fs_hz) * i
         theta = (theta - jnp.floor(theta)) * jnp.float32(2.0 * np.pi)
         c = jnp.cos(theta)
@@ -393,8 +583,9 @@ def fine_doppler_conv(
         m = (pow_k == peak).astype(jnp.float32)
         m = m / jnp.maximum(m.sum(), 1.0)
         d_star = (m * deltas).sum()
-        outs.append(f0 + (d_star * 0.5 if squaring else d_star))
-    return jnp.stack(outs)
+        return f0 + (d_star * 0.5 if squaring else d_star)
+
+    return jax.vmap(one)(code_samples[:p], code_phase, coarse_freq)
 
 
 def detect(

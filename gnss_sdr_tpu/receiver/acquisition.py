@@ -27,16 +27,9 @@ from ..ops import pcps
 
 # jitted entry points: the engine runs once per pacing interval, but an
 # un-jitted call dispatches hundreds of ops eagerly — intolerable on a
-# remote-tunneled TPU backend (seconds per op round trip)
-_search_conv = jax.jit(
-    pcps.pcps_search_conv,
-    static_argnames=("fs_hz", "n_int", "threshold"),
-)
-_fine_conv = jax.jit(
-    pcps.fine_doppler_conv,
-    static_argnames=("fs_hz", "n_int", "window_hz", "n_steps",
-                     "squaring"),
-)
+# remote-tunneled TPU backend (seconds per op round trip). The conv
+# engine goes further: pcps.acquire_conv fuses search + lag refinement
+# + fine Doppler into ONE dispatch (one tunnel round trip per search).
 _search_fft = jax.jit(
     pcps.pcps_search,
     static_argnames=("fs_hz", "n_int", "threshold", "mode",
@@ -159,6 +152,50 @@ class AcquisitionEngine:
                 for p in range(1, n_code_rows + 1)
             ]
         ).astype(np.float32)
+        if engine == "conv":
+            import jax.numpy as jnp
+
+            self.decim = self._pick_decim()
+            # boxcar-decimated replicas: the exact matched filter for
+            # boxcar-decimated samples (chip-edge transitions average
+            # the same way on both sides of the correlation)
+            coarse = (
+                self.code_samples
+                .reshape(n_code_rows, self.n_fft // self.decim, self.decim)
+                .mean(axis=-1)
+                if self.decim > 1 else self.code_samples
+            )
+            # device-resident replica tables, passed (not captured) into
+            # every search — a closure-captured constant costs ~1.5 ms
+            # per call on the axon backend, an argument is free
+            self._codes_dev = jnp.asarray(self.code_samples)
+            self._codes_coarse_dev = jnp.asarray(
+                np.ascontiguousarray(coarse, dtype=np.float32))
+            self._sel_identity = np.eye(n_code_rows, dtype=np.float32)
+        else:
+            self.decim = 1
+
+    def _pick_decim(self) -> int:
+        """Coarse-stage decimation (AcqConfig.coarse_decim semantics)."""
+        cfg = self.cfg
+        if cfg.coarse_decim:
+            r = cfg.coarse_decim
+            if r > 1 and self.n_fft % r:
+                raise ValueError(
+                    f"coarse_decim={r} does not divide samples/code "
+                    f"({self.n_fft})"
+                )
+            return r
+        # auto: largest power-of-two divisor of samples/code keeping
+        # >= 1 sample/chip (2/chip for BOC — the subcarrier doubles the
+        # occupied bandwidth)
+        floor = self.spec.code_length_chips * (
+            2 if self.spec.boc_cycles_per_chip else 1
+        )
+        r, k = 1, 2
+        while self.n_fft % k == 0 and self.n_fft // k >= floor:
+            r, k = k, k * 2
+        return r
 
     @property
     def samples_needed(self) -> int:
@@ -223,14 +260,9 @@ class AcquisitionEngine:
         else:
             threshold, excl = cfg.detection_threshold, 0
         if self.engine == "conv":
-            res = _search_conv(
-                np.ascontiguousarray(np.real(samples), dtype=np.float32),
-                np.ascontiguousarray(np.imag(samples), dtype=np.float32),
-                self.code_samples,
-                np.ascontiguousarray(grid, dtype=np.float32),
-                fs_hz=self.fs_hz,
-                n_int=n_int,
-                threshold=threshold,
+            return self._search_conv_grid(
+                samples, grid, window_offset, allowed_prns,
+                n_int=n_int, threshold=threshold,
             )
         else:
             res = _search_fft(
@@ -253,46 +285,105 @@ class AcquisitionEngine:
 
         freqs = np.asarray(res.carrier_freq_hz)
         if self.cfg.fine_doppler:
-            if self.engine == "conv":
-                fine = np.asarray(
-                    _fine_conv(
-                        np.ascontiguousarray(np.real(samples),
-                                             dtype=np.float32),
-                        np.ascontiguousarray(np.imag(samples),
-                                             dtype=np.float32),
-                        self.code_samples,
-                        res.code_phase_samples,
-                        res.carrier_freq_hz,
-                        fs_hz=self.fs_hz,
-                        n_int=n_int,
-                        window_hz=self.cfg.doppler_step_hz,
-                        squaring=self.spec.secondary_code is not None,
-                    )
+            fine = np.asarray(
+                _fine_fft(
+                    np.ascontiguousarray(samples, dtype=np.complex64),
+                    self.code_samples,
+                    res.code_phase_samples,
+                    res.carrier_freq_hz,
+                    fs_hz=self.fs_hz,
+                    n_int=n_int,
+                    zero_pad=self.cfg.fine_doppler_zero_pad,
+                    window_hz=self.cfg.doppler_step_hz,
+                    # secondary/NH modulation splits the coherent
+                    # line; wipe it by squaring
+                    squaring=self.spec.secondary_code is not None,
                 )
-            else:
-                fine = np.asarray(
-                    _fine_fft(
-                        np.ascontiguousarray(samples, dtype=np.complex64),
-                        self.code_samples,
-                        res.code_phase_samples,
-                        res.carrier_freq_hz,
-                        fs_hz=self.fs_hz,
-                        n_int=n_int,
-                        zero_pad=self.cfg.fine_doppler_zero_pad,
-                        window_hz=self.cfg.doppler_step_hz,
-                        # secondary/NH modulation splits the coherent
-                        # line; wipe it by squaring
-                        squaring=self.spec.secondary_code is not None,
-                    )
-                )
+            )
             freqs = np.where(detected, fine, freqs)
 
+        rowmap = list(range(1, self.code_samples.shape[0] + 1))
+        return self._build_candidates(
+            res, freqs, rowmap, window_offset, allowed_prns
+        )
+
+    def _search_conv_grid(
+        self,
+        samples: np.ndarray,
+        grid: np.ndarray,
+        window_offset: int,
+        allowed_prns: Optional[set[int]],
+        *,
+        n_int: int,
+        threshold: float,
+    ) -> list[Candidate]:
+        """Conv-engine search: one fused acquire_conv dispatch with the
+        candidate list bucketed into the replica batch via a selection
+        matmul (see pcps.acquire_conv)."""
+        n_rows = self.code_samples.shape[0]
+        if (
+            allowed_prns is None
+            or self.cfg.fdma_spacing_hz
+            or len(allowed_prns) >= n_rows
+        ):
+            sel = self._sel_identity
+            rowmap: list[Optional[int]] = list(range(1, n_rows + 1))
+        else:
+            rowmap = sorted(
+                p for p in allowed_prns if 1 <= p <= n_rows
+            )
+            if not rowmap:
+                return []
+            b = 1
+            while b < len(rowmap):
+                b <<= 1
+            sel = np.zeros((b, n_rows), np.float32)
+            for i, p in enumerate(rowmap):
+                sel[i, p - 1] = 1.0
+            # zero pad rows: zero replica -> zero power -> ratio 0,
+            # never detected
+            rowmap = rowmap + [None] * (b - len(rowmap))
+        res = pcps.acquire_conv(
+            np.ascontiguousarray(np.real(samples), dtype=np.float32),
+            np.ascontiguousarray(np.imag(samples), dtype=np.float32),
+            self._codes_dev,
+            self._codes_coarse_dev,
+            sel,
+            np.ascontiguousarray(grid, dtype=np.float32),
+            fs_hz=self.fs_hz,
+            n_int=n_int,
+            decim=self.decim,
+            threshold=threshold,
+            seg_width=self.cfg.seg_width,
+            fine=self.cfg.fine_doppler,
+            fine_window_hz=float(self.cfg.doppler_step_hz),
+            fine_squaring=self.spec.secondary_code is not None,
+        )
+        detected = np.asarray(res.detected)
+        if not detected.any():
+            return []
+        freqs = np.asarray(res.carrier_freq_hz)
+        return self._build_candidates(
+            res, freqs, rowmap, window_offset, allowed_prns
+        )
+
+    def _build_candidates(
+        self,
+        res,
+        freqs: np.ndarray,
+        rowmap: list,
+        window_offset: int,
+        allowed_prns: Optional[set[int]],
+    ) -> list[Candidate]:
+        detected = np.asarray(res.detected)
         ratios = np.asarray(res.ratio)
         peaks = np.asarray(res.peak_power)
         lags = np.asarray(res.code_phase_samples)
         out = []
         for idx in np.where(detected)[0]:
-            prn = int(idx) + 1
+            prn = rowmap[int(idx)]
+            if prn is None:
+                continue
             if allowed_prns is not None and prn not in allowed_prns:
                 continue
             lag = int(lags[idx])

@@ -332,6 +332,100 @@ class TestConvEngineReceiver:
             # fine_doppler_conv must land inside the Costas pull-in
             assert abs(ch["last_doppler_hz"] - truth) < 8.0
 
+    def test_acquire_conv_coarse_to_fine_matches_full_rate(self):
+        """decim=2 coarse search + full-rate lag refinement must agree
+        with the decim=1 full-rate search on lag and Doppler — including
+        boundary code phases where the refinement window wraps."""
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        codes = np.stack([
+            GPS_L1CA.sample_code(p, 1.023e6, FS) for p in range(1, 33)
+        ]).astype(np.float32)
+        coarse_codes = codes.reshape(32, N // 2, 2).mean(-1)
+        sel = np.eye(32, dtype=np.float32)
+        # code phases chosen so full-rate lags land near 0, near N-1
+        # (refinement wrap), and mid-range
+        sats = [
+            SatelliteScenario(prn=5, doppler_hz=3210.0,
+                              code_phase_chips=1022.8, amplitude=0.3),
+            SatelliteScenario(prn=12, doppler_hz=-1789.0,
+                              code_phase_chips=0.2, amplitude=0.3),
+            SatelliteScenario(prn=30, doppler_hz=555.0,
+                              code_phase_chips=500.0, amplitude=0.3),
+        ]
+        x = synthesize(sats, (N_INT + 1) * N, FS, noise_std=1.0, seed=13)
+        re = np.real(x).astype(np.float32)
+        im = np.imag(x).astype(np.float32)
+        kw = dict(fs_hz=FS, n_int=N_INT, threshold=7.0)
+        full = pcps.acquire_conv(re, im, codes, codes, sel, grid,
+                                 decim=1, **kw)
+        c2f = pcps.acquire_conv(re, im, codes, coarse_codes, sel, grid,
+                                decim=2, **kw)
+        want = {5, 12, 30}
+        assert set(np.where(np.asarray(full.detected))[0] + 1) == want
+        assert set(np.where(np.asarray(c2f.detected))[0] + 1) == want
+        for prn in want:
+            lag_full = int(full.code_phase_samples[prn - 1])
+            lag_c2f = int(c2f.code_phase_samples[prn - 1])
+            d = abs(lag_full - lag_c2f)
+            assert min(d, N - d) <= 1, (prn, lag_full, lag_c2f)
+            assert float(c2f.carrier_freq_hz[prn - 1]) == pytest.approx(
+                float(full.carrier_freq_hz[prn - 1]), abs=20.0)
+
+    def test_acquire_conv_prn_bucketing(self):
+        """A selection matrix restricting the search to a candidate
+        subset returns the same verdicts on the selected rows; zero pad
+        rows never detect."""
+        grid = pcps.doppler_grid(14_000.0, 500.0)
+        codes = np.stack([
+            GPS_L1CA.sample_code(p, 1.023e6, FS) for p in range(1, 33)
+        ]).astype(np.float32)
+        sats = [SatelliteScenario(prn=9, doppler_hz=-2500.0,
+                                  code_phase_chips=700.0, amplitude=0.3)]
+        x = synthesize(sats, (N_INT + 1) * N, FS, noise_std=1.0, seed=14)
+        re = np.real(x).astype(np.float32)
+        im = np.imag(x).astype(np.float32)
+        # bucket of 4: PRNs {9, 17, 23} + one zero pad row
+        sel = np.zeros((4, 32), np.float32)
+        for i, p in enumerate((9, 17, 23)):
+            sel[i, p - 1] = 1.0
+        res = pcps.acquire_conv(re, im, codes, codes, sel, grid,
+                                fs_hz=FS, n_int=N_INT, decim=1,
+                                threshold=7.0)
+        det = np.asarray(res.detected)
+        assert det.tolist() == [True, False, False, False]
+        full_sel = np.eye(32, dtype=np.float32)
+        full = pcps.acquire_conv(re, im, codes, codes, full_sel, grid,
+                                 fs_hz=FS, n_int=N_INT, decim=1,
+                                 threshold=7.0)
+        assert int(res.code_phase_samples[0]) == int(
+            full.code_phase_samples[8])
+        assert float(res.carrier_freq_hz[0]) == float(
+            full.carrier_freq_hz[8])
+
+    def test_engine_auto_decim_and_bucketed_search(self):
+        """AcquisitionEngine auto-picks the largest decimation keeping
+        >= 1 sample/chip and the bucketed conv search still finds the
+        satellite with a correct window-relative boundary index."""
+        from gnss_sdr_tpu.config import AcqConfig
+        from gnss_sdr_tpu.receiver.acquisition import AcquisitionEngine
+
+        fs = 4_092_000.0
+        spec = GPS_L1CA
+        eng = AcquisitionEngine(AcqConfig(engine="conv"), spec, fs, 0.0)
+        assert eng.decim == 4  # 4092 samples/code -> 1023 = 1/chip
+        n = spec.samples_per_code(fs)
+        x = synthesize(
+            [SatelliteScenario(prn=6, doppler_hz=1500.0,
+                               code_phase_chips=123.0, amplitude=0.3)],
+            11 * n, fs, noise_std=1.0, seed=15,
+        )
+        cands = eng.search(np.asarray(x), window_offset=0,
+                           allowed_prns={3, 6, 27})
+        assert [c.prn for c in cands] == [6]
+        expected_lag = round((1023 - 123.0) * fs / 1.023e6) % n
+        assert abs(cands[0].code_phase_samples - expected_lag) <= 2
+        assert cands[0].carrier_freq_hz == pytest.approx(1500.0, abs=30.0)
+
     def test_fine_doppler_conv_matches_fft(self):
         """The FFT-free fine-Doppler refinement must agree with the
         zero-padded-FFT version within grid resolution."""
