@@ -123,34 +123,61 @@ def _run_fused(args, jax, jnp):
             interpret=jax.default_backend() == "cpu",
         )
 
-    # conv acquisition (FFT-free)
+    # conv acquisition: coarse-to-fine acquire_conv (one fused dispatch
+    # per search — see ops/pcps.py). Timed as a K-iteration lax.scan
+    # chain with a device-side data dependence between iterations: the
+    # axon tunnel acks single dispatches before completion and pays a
+    # ~30 ms flush quantum per host sync, so the only trustworthy
+    # figure is (one chained graph, one sync) / K.
     n_int = 10
-    acq_codes = jnp.asarray(np.stack([
+    codes_np = np.stack([
         spec.sample_code(p, spec.code_rate_hz, fs) for p in range(1, 33)
-    ]).astype(np.float32))
+    ]).astype(np.float32)
+    decim = 1
+    while (n0 % (decim * 2) == 0
+           and n0 // (decim * 2) >= spec.code_length_chips):
+        decim *= 2
+    acq_codes = jnp.asarray(codes_np)
+    acq_coarse = jnp.asarray(
+        codes_np.reshape(32, n0 // decim, decim).mean(-1)
+        if decim > 1 else codes_np)
+    sel = jnp.eye(32, dtype=jnp.float32)
     grid = jnp.asarray(pcps.doppler_grid(14_000.0, 500.0))
     acq_re = jnp.asarray(
         rng.standard_normal((n_int + 1) * n0), jnp.float32)
     acq_im = jnp.asarray(
         rng.standard_normal((n_int + 1) * n0), jnp.float32)
-    acq_fn = jax.jit(lambda re, im: pcps.pcps_search_conv(
-        re, im, acq_codes, grid, fs_hz=fs, n_int=n_int))
+
+    k_acq = 64
+
+    @jax.jit
+    def acq_chain(x, y):
+        def body(carry, _):
+            cx, cy = carry
+            r = pcps.acquire_conv.__wrapped__(
+                cx, cy, acq_codes, acq_coarse, sel, grid,
+                fs_hz=fs, n_int=n_int, decim=decim, threshold=7.0)
+            eps = 1e-20 * r.peak_power.sum()
+            return (cx + eps, cy + eps), r.ratio[0]
+        _, rs = jax.lax.scan(body, (x, y), None, length=k_acq)
+        return rs
 
     telem, st = track_step(state0)
     telem.block_until_ready()
-    res = acq_fn(acq_re, acq_im)
-    res.ratio.block_until_ready()
+    rs = acq_chain(acq_re, acq_im)
+    rs.block_until_ready()
 
     t0 = _time.perf_counter()
     for _ in range(args.blocks):
         telem, st = track_step(st)
     telem.block_until_ready()
     t_track = _time.perf_counter() - t0
+    # timed run uses different inputs from the warm-up call so the
+    # tunnel cannot serve a memoized result
     t0 = _time.perf_counter()
-    for _ in range(3):
-        res = acq_fn(acq_re, acq_im)
-        res.ratio.block_until_ready()
-    t_acq = (_time.perf_counter() - t0) / 3.0
+    rs = acq_chain(acq_im, acq_re)
+    rs.block_until_ready()
+    t_acq = (_time.perf_counter() - t0) / k_acq
     return t_track, t_acq
 
 
