@@ -126,22 +126,40 @@ def _kernel(
     if resident:
         # ONE shared sample stream in VMEM: all channel offsets lie
         # within one code period, so a double-length window starting at
-        # lane t * n0 covers every channel's epoch-t window. Slicing is
-        # legal in-kernel because n0 % 128 == 0 makes the lane start
-        # provably aligned. Per-channel alignment is pure state: the
-        # window-offset column (state[9]) shifts the mask and the
-        # carrier phase reference; the replicas are pre-anchored per
-        # channel (build_replicas_shared). Eliminates the C-fold window
-        # duplication of the streamed layout entirely.
-        start = pl.multiple_of(t * n0, 128)
+        # lane t * n0 covers every channel's epoch-t window. Per-channel
+        # alignment is pure state: the window-offset column (state[9])
+        # shifts the mask and the carrier phase reference; the replicas
+        # are pre-anchored per channel (build_replicas_shared).
+        # Eliminates the C-fold window duplication of the streamed
+        # layout entirely.
+        #
+        # VMEM slice starts must be 128-aligned. When n0 % 128 == 0 the
+        # natural start t * n0 is provably aligned; otherwise slice at
+        # the aligned floor and carry the remainder rem = t*n0 - start
+        # into the lane bookkeeping: the epoch mask/phase reference
+        # shift by rem, and the pre-anchored replica (built for a
+        # window starting exactly at t*n0) is dynamically rolled right
+        # by rem lanes below. The roll's wrapped head lanes [0, rem)
+        # are always masked (epoch body starts at lane
+        # rem + window_offset >= rem + el_pad).
+        if n0 % 128 == 0:
+            start = pl.multiple_of(t * n0, 128)
+            rem_i = None
+        else:
+            raw = t * n0
+            start = pl.multiple_of((raw // 128) * 128, 128)
+            rem_i = raw - (raw // 128) * 128
         wre = win_re_ref[0:1, pl.ds(start, wp)]    # [1, WP] shared
         wim = win_im_ref[0:1, pl.ds(start, wp)]
         start_lane = col(9) + drift
+        if rem_i is not None:
+            start_lane = start_lane + jnp.float32(rem_i)
     else:
         # windows are sliced el_pad = el_shift + half lanes EARLY
         # (slice_windows el_pad arg) so the epoch body always sits
         # >= el_shift lanes from the window edges — required for the
         # rolled early/late replicas to be exact
+        rem_i = None
         wre = win_re_ref[0]
         wim = win_im_ref[0]
         start_lane = drift + jnp.float32(el_shift + half)
@@ -201,6 +219,12 @@ def _kernel(
     for d in range(n_drift):
         sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
         prompt = prompt + sel_d * reps_ref[:, d, :]
+    if rem_i is not None:
+        # unaligned resident mode: the replica was anchored for a
+        # window starting at sample t*n0, the VMEM slice starts rem
+        # lanes earlier — shift the replica right to match (wrapped
+        # head lanes are masked, see above)
+        prompt = pltpu.roll(prompt, rem_i, 1)
     early = pltpu.roll(prompt, wp - el_shift, 1)  # early[l] = prompt[l+el]
     late = pltpu.roll(prompt, el_shift, 1)        # late[l]  = prompt[l-el]
 
@@ -370,7 +394,7 @@ def track_block_fused_resident(
     t_epochs: int,
     k_epochs: int = 128,     # epochs per pallas launch (VMEM bound)
     n0: int,
-    wp: int,                 # >= 2 * n0 + margin, multiple of 128
+    wp: int,                 # >= 2*n0 + margin (+128 if n0 % 128), mult of 128
     fs: float,
     code_len: float = 1023.0,
     lock_threshold: float = 15.0,
@@ -392,15 +416,16 @@ def track_block_fused_resident(
     (build_replicas_shared). Eliminates the C-fold window duplication
     that dominates the streamed layout's HBM traffic.
 
-    Requires ``n0 % 128 == 0`` (e.g. the 2.048 MHz operating point,
-    n0 = 2048) so the in-kernel lane slice start is provably aligned.
+    Works for ANY ``n0``: when ``n0 % 128 == 0`` the in-kernel lane
+    slice start t*n0 is provably aligned; otherwise the kernel slices
+    at the 128-aligned floor and carries the remainder into the lane
+    bookkeeping plus a dynamic replica roll (size ``wp`` with an extra
+    +128 of margin in that case — see the wp requirement above).
     A lax.scan chunks the block into ``k_epochs``-epoch launches so the
     per-launch VMEM footprint stays bounded; tracking state carries
     through the scan. Returns (telemetry [T, C, 128],
     state_out [C, 128]) identical to track_block_fused.
     """
-    if n0 % 128:
-        raise ValueError(f"resident path needs n0 % 128 == 0, got {n0}")
     c_channels = state_in.shape[0]
     k = min(k_epochs, t_epochs)
     while t_epochs % k:

@@ -111,7 +111,7 @@ class TestSharedStreamPath:
         bim = jnp.asarray(rng.standard_normal(L), jnp.float32)
         offsets = jnp.asarray(rng.integers(8, N02, C), jnp.int32)
         code1 = np.sign(rng.standard_normal((C, N02)))
-        codes3x = jnp.asarray(np.tile(code1, (1, 3))[:, :2 * N02 + WP2 + 4],
+        codes3x = jnp.asarray(np.tile(code1, (1, 4))[:, :2 * N02 + WP2 + 4],
                               jnp.float32)
         cp = jnp.asarray(rng.uniform(0, 1023, C), jnp.float32)
         cps = jnp.full((C,), 1.023e6 / FS2, jnp.float32)
@@ -131,6 +131,60 @@ class TestSharedStreamPath:
                                          jnp.asarray(st), **kw)
 
         wpp = ((2 * N02 + 128 + 127) // 128) * 128
+        codes4x = jnp.asarray(
+            np.tile(code1, (1, 6))[:, :3 * N02 + wpp + 8], jnp.float32)
+        reps_sh = fused.build_replicas_shared(codes4x, cp, cps, offsets,
+                                              1, N02, wpp, n_drift=ND)
+        st_sh = st.copy()
+        st_sh[:, 9] = np.asarray(offsets)
+        t2, s2 = fused.track_block_fused_resident(
+            bre, bim, reps_sh, jnp.asarray(st_sh), t_epochs=T,
+            k_epochs=8, wp=wpp, **kw)
+
+        t1n, t2n = np.asarray(t1), np.asarray(t2)
+        scale = max(1.0, np.abs(t1n[..., :7]).max())
+        assert np.abs(t1n[..., :7] - t2n[..., :7]).max() / scale < 1e-4
+        assert np.abs(t1n[..., 10] - t2n[..., 10]).max() < 0.05
+        assert np.abs(np.asarray(s1)[:, :9]
+                      - np.asarray(s2)[:, :9]).max() < 0.1
+
+    def test_unaligned_n0_matches_streamed_windows(self):
+        """The resident kernel generalized to n0 % 128 != 0 (aligned-
+        floor slice + remainder lane shift + dynamic replica roll) must
+        agree with the streamed-window kernel at the 2.046 MHz headline
+        operating point (n0 = 2046)."""
+        import jax.numpy as jnp
+
+        FS2, N02 = 2_046_000.0, 2046
+        WP2 = ((N02 + 63 + 127) // 128) * 128
+        C, T, ND = 4, 24, 5
+        rng = np.random.default_rng(7)
+        L = (T + 2) * N02 + 2 * N02 + 256
+        bre = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        bim = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        offsets = jnp.asarray(rng.integers(8, N02, C), jnp.int32)
+        code1 = np.sign(rng.standard_normal((C, N02)))
+        codes3x = jnp.asarray(np.tile(code1, (1, 4))[:, :2 * N02 + WP2 + 4],
+                              jnp.float32)
+        cp = jnp.asarray(rng.uniform(0, 1023, C), jnp.float32)
+        cps = jnp.full((C,), 1.023e6 / FS2, jnp.float32)
+        st = np.zeros((C, 128), np.float32)
+        st[:, 0] = rng.uniform(500, 1500, C)
+        st[:, 3] = 1.023e6
+        st[:, 7] = 1.0
+
+        kw = dict(n0=N02, fs=FS2, pll_c1=0.01, pll_c2=0.005,
+                  dll_c1=0.001, dll_c2=0.0005, interpret=True)
+        el_pad = 1 + (ND - 1) // 2
+        wre, wim = fused.slice_windows(bre, bim, offsets, T, N02, WP2,
+                                       el_pad)
+        reps = fused.build_replicas(codes3x, cp, cps, 1, N02, WP2,
+                                    n_drift=ND)
+        t1, s1 = fused.track_block_fused(wre, wim, reps,
+                                         jnp.asarray(st), **kw)
+
+        # +128 margin: the unaligned slice starts up to 127 lanes early
+        wpp = ((2 * N02 + 256 + 127) // 128) * 128
         codes4x = jnp.asarray(
             np.tile(code1, (1, 6))[:, :3 * N02 + wpp + 8], jnp.float32)
         reps_sh = fused.build_replicas_shared(codes4x, cp, cps, offsets,
