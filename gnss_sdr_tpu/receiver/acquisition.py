@@ -213,10 +213,13 @@ class AcquisitionEngine:
     ) -> list[Candidate]:
         """Run PCPS (+ optional fine Doppler) over a sample chunk.
 
-        ``samples`` must be ``samples_needed`` long; ``window_offset`` is
-        the chunk's position inside the caller's window so candidates
-        carry window-relative boundary indices (the reference's
-        local_tail + code_phase, do_acquisition.rs:220).
+        ``samples`` must be ``samples_needed`` long — either a complex
+        array or a planar ``(re, im)`` float32 pair (the receiver's
+        window is planar; the conv engine consumes it copy-free).
+        ``window_offset`` is the chunk's position inside the caller's
+        window so candidates carry window-relative boundary indices
+        (the reference's local_tail + code_phase,
+        do_acquisition.rs:220).
 
         FDMA mode (cfg.fdma_spacing_hz != 0): one search per frequency
         channel with the grid shifted by k * spacing; detected channels
@@ -265,6 +268,9 @@ class AcquisitionEngine:
                 n_int=n_int, threshold=threshold,
             )
         else:
+            if isinstance(samples, tuple):
+                samples = (samples[0] + 1j * samples[1]).astype(
+                    np.complex64)
             res = _search_fft(
                 np.ascontiguousarray(samples, dtype=np.complex64),
                 self.code_ffts,
@@ -334,18 +340,31 @@ class AcquisitionEngine:
             )
             if not rowmap:
                 return []
-            b = 1
-            while b < len(rowmap):
-                b <<= 1
+            # only two bucket shapes ever reach the jit cache: 8 (the
+            # steady-state re-search, reference masks <= 5 PRNs,
+            # do_acquisition.rs:62-73) and n_rows. A tight pow2 bucket
+            # would recompile as the candidate count walks down —
+            # ruinous where compiles are expensive (remote TPU).
+            b = 8 if len(rowmap) <= 8 else n_rows
             sel = np.zeros((b, n_rows), np.float32)
             for i, p in enumerate(rowmap):
                 sel[i, p - 1] = 1.0
             # zero pad rows: zero replica -> zero power -> ratio 0,
             # never detected
             rowmap = rowmap + [None] * (b - len(rowmap))
+        if isinstance(samples, tuple):
+            s_re, s_im = samples
+            if isinstance(s_re, np.ndarray):
+                s_re = np.ascontiguousarray(s_re, dtype=np.float32)
+                s_im = np.ascontiguousarray(s_im, dtype=np.float32)
+            # else: device-resident planar slices — pass through with
+            # zero host round trips
+        else:
+            s_re = np.ascontiguousarray(np.real(samples), dtype=np.float32)
+            s_im = np.ascontiguousarray(np.imag(samples), dtype=np.float32)
         res = pcps.acquire_conv(
-            np.ascontiguousarray(np.real(samples), dtype=np.float32),
-            np.ascontiguousarray(np.imag(samples), dtype=np.float32),
+            s_re,
+            s_im,
             self._codes_dev,
             self._codes_coarse_dev,
             sel,

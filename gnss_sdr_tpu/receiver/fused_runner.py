@@ -44,6 +44,7 @@ from . import tracking as trk
 
 _U32 = 4294967296.0
 N_DRIFT = 5
+N_TELEM_COLS = 17   # used telemetry columns (kernel docstring)
 
 
 class FusedTracker:
@@ -220,10 +221,14 @@ def _fused_block_step(block_re, block_im, offsets, chip_phase,
     cps = state_mat[:, 3] / jnp.float32(fs)
     reps = fused.build_replicas(codes_rows, chip_phase, cps, el_shift,
                                 n0, wp, n_drift=N_DRIFT)
-    return fused.track_block_fused(
+    telem, st = fused.track_block_fused(
         wre, wim, reps, state_mat, n0=n0, fs=fs, code_len=code_len,
         lock_threshold=lock_threshold, max_lost=max_lost,
         pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
         el_shift=el_shift,
         interpret=jax.default_backend() == "cpu",
     )
+    # only the first N_TELEM_COLS of the 128-lane telemetry rows carry
+    # data; slicing ON DEVICE cuts the host download ~7.5x per block
+    # (material over a remote device transport)
+    return telem[:, :, :N_TELEM_COLS], st

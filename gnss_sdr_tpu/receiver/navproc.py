@@ -45,6 +45,9 @@ class ChannelNav:
     """One channel's decoding chain (reference capability:
     src/decoding.rs NavSyncStatus, properly implemented)."""
 
+    #: epoch-history ring capacity (epochs); ~8 s at 1 ms epochs
+    HIST_CAP = 8192
+
     def __init__(self, prn: int, code_period_s: float = 1e-3,
                  code_length: int = 1023):
         self.prn = prn
@@ -55,18 +58,52 @@ class ChannelNav:
         self.frames = FrameDecoder()
         self.anchor: Optional[TimeAnchor] = None
         self.subframe_count = 0
-        # epoch -> (global_sample, chip_phase, carr_freq), pruned to
-        # the last ~6 s
-        self._hist: dict[int, tuple[int, float, float]] = {}
+        # epoch -> (global_sample, chip_phase, carr_freq) history as a
+        # numpy ring keyed by epoch % HIST_CAP (a python dict updated
+        # per epoch measured ~28 ms per 500 ms block at 24 channels —
+        # the single largest host cost in the streaming receiver)
+        cap = self.HIST_CAP
+        self._h_stamp = np.full(cap, -1, np.int64)
+        self._h_g = np.zeros(cap, np.int64)
+        self._h_cp = np.zeros(cap, np.float64)
+        self._h_cf = np.zeros(cap, np.float64)
+
+    # -- epoch-history ring -------------------------------------------
+    def _hist_put(self, epochs, global_samples, chip_phases, carr_freqs):
+        e = np.asarray(epochs, np.int64)
+        idx = e % self.HIST_CAP
+        self._h_stamp[idx] = e
+        self._h_g[idx] = np.asarray(global_samples, np.int64)
+        self._h_cp[idx] = np.asarray(chip_phases, np.float64)
+        self._h_cf[idx] = np.asarray(carr_freqs, np.float64)
+
+    def _hist_get(self, epoch: int, default=None):
+        i = int(epoch) % self.HIST_CAP
+        if self._h_stamp[i] != epoch:
+            return default
+        return (int(self._h_g[i]), float(self._h_cp[i]),
+                float(self._h_cf[i]))
+
+    def _hist_epochs(self) -> np.ndarray:
+        """Valid epochs currently held, ascending."""
+        return np.sort(self._h_stamp[self._h_stamp >= 0])
+
+    def history(self) -> dict[int, tuple[int, float, float]]:
+        """Dict view of the epoch history (tests/diagnostics)."""
+        valid = self._h_stamp >= 0
+        return {
+            int(e): (int(g), float(c), float(f))
+            for e, g, c, f in zip(
+                self._h_stamp[valid], self._h_g[valid],
+                self._h_cp[valid], self._h_cf[valid])
+        }
 
     def feed_epoch(self, i_prompt: float, epoch: int,
                    global_sample: int,
                    chip_phase: float = 0.0,
                    carr_freq: float = 0.0) -> Optional[Subframe]:
-        self._hist[epoch] = (global_sample, chip_phase, carr_freq)
-        if len(self._hist) > 8000:
-            for k in sorted(self._hist)[:2000]:
-                del self._hist[k]
+        self._hist_put([epoch], [global_sample], [chip_phase],
+                       [carr_freq])
         bit = self.bit_sync.feed(i_prompt, epoch)
         if bit is None:
             return None
@@ -74,7 +111,7 @@ class ChannelNav:
         if sf is not None:
             self.subframe_count += 1
             bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            g0, cp0, _ = self._hist.get(
+            g0, cp0, _ = self._hist_get(
                 bit_epoch, (global_sample, 0.0, 0.0)
             )
             cp0_signed = cp0 if cp0 < self.code_length / 2 else cp0 - self.code_length
@@ -95,15 +132,7 @@ class ChannelNav:
         channel; equivalent to feed_epoch per row (bit sync is numpy-
         vectorized; the rare completed bits and subframes stay in
         python). Returns completed Subframes."""
-        self._hist.update(zip(
-            (int(e) for e in epochs),
-            zip((int(g) for g in global_samples),
-                (float(c) for c in chip_phases),
-                (float(f) for f in carr_freqs)),
-        ))
-        if len(self._hist) > 8000:
-            for k in sorted(self._hist)[:2000]:
-                del self._hist[k]
+        self._hist_put(epochs, global_samples, chip_phases, carr_freqs)
         out = []
         g_last = int(global_samples[-1]) if len(global_samples) else 0
         for bit, bit_epoch in self.bit_sync.feed_array(i_prompts, epochs):
@@ -112,7 +141,7 @@ class ChannelNav:
                 continue
             self.subframe_count += 1
             sf_bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            g0, cp0, _ = self._hist.get(sf_bit_epoch, (g_last, 0.0, 0.0))
+            g0, cp0, _ = self._hist_get(sf_bit_epoch, (g_last, 0.0, 0.0))
             cp0_signed = cp0 if cp0 < self.code_length / 2 \
                 else cp0 - self.code_length
             self.anchor = TimeAnchor(
@@ -141,21 +170,28 @@ class ChannelNav:
         sample-phase), so smoothing does NOT help there — it pays off
         on band-limited real RF where code noise decorrelates
         epoch-to-epoch. Default off in compute_pvt."""
-        if self.anchor is None or epoch not in self._hist:
+        latest = self._hist_get(epoch)
+        if self.anchor is None or latest is None:
             return None
-        g_n = self._hist[epoch][0]
-        ks = sorted(k for k in self._hist if k <= epoch)[-window:]
-        vals = []
-        for k in ks:
-            g_k, cp_k, f_k = self._hist[k]
-            t_k = self.transmit_time_at(k, cp_k)
-            if t_k is None:
-                continue
-            fd = f_k - f_if_hz
-            vals.append(
-                t_k + (g_n - g_k) / fs_hz * (1.0 + fd / carrier_freq_hz)
-            )
-        if not vals:
+        g_n = latest[0]
+        valid = self._h_stamp >= 0
+        ks = self._h_stamp[valid]
+        sel = ks <= epoch
+        order = np.argsort(ks[sel])[-window:]
+        idx = (ks[sel][order]) % self.HIST_CAP
+        k_arr = self._h_stamp[idx].astype(np.float64)
+        g_k = self._h_g[idx].astype(np.float64)
+        cp_k = self._h_cp[idx]
+        f_k = self._h_cf[idx]
+        # vectorized transmit_time_at(k, cp_k)
+        base = (self.anchor.tow_s
+                + (k_arr - self.anchor.epoch) * self.code_period_s)
+        half = self.code_length / 2
+        d = (cp_k - self.anchor.chip_phase + half) % self.code_length - half
+        t_k = base + d / self.code_rate
+        fd = f_k - f_if_hz
+        vals = t_k + (g_n - g_k) / fs_hz * (1.0 + fd / carrier_freq_hz)
+        if vals.size == 0:
             return None
         return float(np.mean(vals))
 

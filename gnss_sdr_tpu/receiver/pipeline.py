@@ -31,7 +31,7 @@ from ..utils.telemetry import TelemetryLog
 from . import tracking as trk
 from .acquisition import AcquisitionEngine, SearchScheduler
 from .navproc import NavProcessor
-from .stream import SampleSource, StreamWindow
+from .stream import DeviceStreamWindow, SampleSource, StreamWindow
 
 
 class Receiver:
@@ -116,7 +116,14 @@ class Receiver:
         else:
             self.codes_full = trk.make_code_table(self.spec, cfg.acq.n_prn)
         self.state = trk.init_state(cfg.track.n_channels)
-        self.window = StreamWindow(self.history, self.block)
+        # device-resident window on accelerator backends: upload only
+        # the fresh block per step and slice acquisition chunks /
+        # tracking windows on-device (a full-window host upload per
+        # block dominates everything over a remote device transport)
+        if jax.default_backend() == "cpu":
+            self.window = StreamWindow(self.history, self.block)
+        else:
+            self.window = DeviceStreamWindow(self.history, self.block)
         self.fused = None
         if cfg.track.correlator == "fused":
             if self.mesh is not None:
@@ -151,7 +158,7 @@ class Receiver:
     # ------------------------------------------------------------------
     def _run_acquisition(self) -> None:
         w0 = self.history + self.block - self.acq_len
-        chunk = self.window.buf[w0:]
+        chunk = (self.window.re[w0:], self.window.im[w0:])
         allowed = set(self.scheduler.candidates(set(self.active)))
         if not allowed:
             return
@@ -179,16 +186,37 @@ class Receiver:
         """Read one raw block and run the front-end conditioning chain."""
         from ..ops.frontend import condition_block
 
-        raw = self.source.read(self.block * self.decim)
-        if raw is None or raw.size == 0:
+        need = self.block * self.decim
+        raw = self.source.read(need)
+        if raw is None:
             return None
-        n_valid = -(-raw.size // self.decim)  # valid output samples
-        if raw.size < self.block * self.decim:
-            raw = np.pad(raw, (0, self.block * self.decim - raw.size))
+        if isinstance(raw, tuple):
+            # planar source (possibly device-resident — zero staging)
+            re, im = raw
+            size = int(re.shape[0])
+            if size == 0:
+                return None
+            if size < need:
+                pad = need - size
+                if isinstance(re, np.ndarray):
+                    re = np.pad(re, (0, pad))
+                    im = np.pad(im, (0, pad))
+                else:
+                    import jax.numpy as jnp
+
+                    re = jnp.pad(re, (0, pad))
+                    im = jnp.pad(im, (0, pad))
+        else:
+            if raw.size == 0:
+                return None
+            size = raw.size
+            if size < need:
+                raw = np.pad(raw, (0, need - size))
+            re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
+            im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
+        n_valid = -(-size // self.decim)  # valid output samples
         if not self.conditioning:
-            return raw, n_valid
-        re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
-        im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
+            return (re, im), n_valid
         (re, im, self._fe_phase, self._fe_bias_re, self._fe_bias_im,
          self._fe_agc_gain) = condition_block(
             re, im, np.float32(self.mix_freq), self._fe_phase,
@@ -198,7 +226,9 @@ class Receiver:
             enable_mix=self.mix, blank_sigma=self.blank_sigma,
             enable_agc=self.agc,
         )
-        return np.asarray(re) + 1j * np.asarray(im), n_valid
+        # re/im stay whatever condition_block produced (device arrays);
+        # both window kinds accept them — no forced host round trip
+        return (re, im), n_valid
 
     def step(self) -> bool:
         """Process one block; returns False at end of stream."""
@@ -222,12 +252,8 @@ class Receiver:
         # one scan over the block for all channels (+1 catch-up epoch)
         with self.timers.stage("track", self.block):
             codes_ch = self.codes_full[jnp.maximum(self.state.prn_idx, 0)]
-            re = np.ascontiguousarray(
-                np.real(self.window.buf), dtype=np.float32
-            )
-            im = np.ascontiguousarray(
-                np.imag(self.window.buf), dtype=np.float32
-            )
+            re = self.window.re
+            im = self.window.im
             if self.fused is not None and n_valid == self.block:
                 # fused pallas path: T static epochs, host re-anchors
                 # the exact ledger per block (receiver/fused_runner.py);
@@ -305,9 +331,9 @@ class Receiver:
             dopplers = {}
             for prn, ch in self.active.items():
                 tr = self.telemetry.traces.get(ch)
-                if tr and tr.carr_freq:
+                if tr is not None and tr.carr_freq.size:
                     dopplers[prn] = float(
-                        np.mean(np.asarray(tr.carr_freq[-20:]))
+                        np.mean(tr.carr_freq[-20:])
                     ) - self.f_if
             # LIVE traces only: closed traces of re-acquired PRNs would
             # otherwise shadow the current channel's C/N0
@@ -364,10 +390,10 @@ class Receiver:
             position = sol.position_ecef_m
         dopplers = {}
         for trace_ch, trace in self.telemetry.traces.items():
-            if trace.carr_freq:
+            if trace.carr_freq.size:
                 # settled loop average: instantaneous PLL output jitters
                 # by a few Hz (~0.5 m/s per satellite)
-                recent = np.asarray(trace.carr_freq[-50:])
+                recent = trace.carr_freq[-50:]
                 dopplers[trace_ch] = float(np.mean(recent)) - self.f_if
         return self.nav.compute_velocity(
             position, dopplers, self.spec.carrier_freq_hz
@@ -390,12 +416,15 @@ class Receiver:
                     "prn": t.prn,
                     "epochs": len(t.i_p),
                     "locked_fraction": (
-                        float(np.mean(t.locked)) if t.locked else 0.0
+                        float(np.mean(t.locked)) if t.locked.size else 0.0
                     ),
                     "cn0_dbhz": t.cn0_dbhz(coherent_s=self.spec.code_period_s),
-                    "last_carr_freq": t.carr_freq[-1] if t.carr_freq else None,
+                    "last_carr_freq": (
+                        float(t.carr_freq[-1]) if t.carr_freq.size else None
+                    ),
                     "last_doppler_hz": (
-                        t.carr_freq[-1] - self.f_if if t.carr_freq else None
+                        float(t.carr_freq[-1]) - self.f_if
+                        if t.carr_freq.size else None
                     ),
                 }
                 for t in traces

@@ -127,32 +127,178 @@ class ArraySource:
         return out
 
 
+class DeviceArraySource:
+    """In-memory source pre-staged in DEVICE memory (planar f32).
+
+    Uploads the whole stream to the accelerator once at construction;
+    ``read`` returns device-resident ``(re, im)`` slices at zero
+    per-block transfer cost. Pairs with ``DeviceStreamWindow`` for a
+    fully device-resident streaming path — the configuration that shows
+    the receiver's compute capacity when the host<->device link is slow
+    (remote transports), and the replay/simulation source for
+    device-side closed-loop testing."""
+
+    def __init__(self, samples, fs_hz: float):
+        import jax.numpy as jnp
+
+        self.fs_hz = fs_hz
+        if isinstance(samples, tuple):
+            re, im = samples
+        else:
+            samples = np.asarray(samples)
+            re = np.real(samples).astype(np.float32)
+            im = np.imag(samples).astype(np.float32)
+        self._re = jnp.asarray(re)
+        self._im = jnp.asarray(im)
+        self._n = int(self._re.shape[0])
+        self._pos = 0
+
+    def read(self, n: int):
+        if self._pos >= self._n:
+            return None
+        end = min(self._pos + n, self._n)
+        out = (self._re[self._pos:end], self._im[self._pos:end])
+        self._pos = end
+        return out
+
+
 class StreamWindow:
     """Rolling history+block sample window fed to the device each step.
 
     Layout: ``[history | block]`` of ``h + b`` samples. ``advance()``
     rolls the block into history and appends fresh samples; short final
     blocks are zero-padded and reported so the pipeline can mask them.
+
+    Storage is PLANAR float32 (``re``/``im``): every on-device consumer
+    (conv acquisition, all tracking paths) wants planar f32, so keeping
+    the window complex forced two full-window ``np.real``/``np.imag``
+    copies per block. The ``buf`` property materializes the complex view
+    for the (host/CPU) FFT acquisition path and diagnostics.
     """
 
     def __init__(self, history: int, block: int):
         self.h = history
         self.b = block
-        self.buf = np.zeros(history + block, dtype=np.complex64)
+        self.re = np.zeros(history + block, dtype=np.float32)
+        self.im = np.zeros(history + block, dtype=np.float32)
         self.global_start = -history  # global index of buf[0]
         self.blocks_fed = 0
 
-    def advance(self, fresh: Optional[np.ndarray]) -> Optional[int]:
+    @property
+    def buf(self) -> np.ndarray:
+        """Complex view of the window (materialized on access)."""
+        return (self.re + 1j * self.im).astype(np.complex64)
+
+    def advance(self, fresh) -> Optional[int]:
         """Roll in one block of samples; returns the valid sample count,
-        or None at end-of-stream (``fresh`` empty/None)."""
-        if fresh is None or fresh.size == 0:
+        or None at end-of-stream. ``fresh``: complex array or an
+        ``(re, im)`` planar float32 pair."""
+        if fresh is None:
             return None
-        self.buf[: self.h] = self.buf[self.b:self.b + self.h].copy()
-        self.buf[self.h:] = 0.0
-        self.buf[self.h:self.h + fresh.size] = fresh
+        if isinstance(fresh, tuple):
+            fre, fim = fresh
+        elif fresh.size == 0:
+            return None
+        else:
+            fre = np.real(fresh).astype(np.float32)
+            fim = np.imag(fresh).astype(np.float32)
+        n = int(fre.size)
+        if n == 0:
+            return None
+        h, b = self.h, self.b
+        for buf, f in ((self.re, fre), (self.im, fim)):
+            buf[:h] = buf[b:b + h].copy()
+            buf[h:] = 0.0
+            buf[h:h + n] = f
         self.global_start += self.b
         self.blocks_fed += 1
-        return int(fresh.size)
+        return n
+
+    def load(self, re: np.ndarray, im: np.ndarray) -> None:
+        """Overwrite the window contents (checkpoint restore)."""
+        self.re[:] = re
+        self.im[:] = im
+
+    def to_global(self, local_index: int) -> int:
+        return self.global_start + local_index
+
+    def to_local(self, global_index: int) -> int:
+        return global_index - self.global_start
+
+
+class DeviceStreamWindow:
+    """Device-resident rolling window (same surface as StreamWindow).
+
+    On an accelerator backend, keeping the history+block window in host
+    memory forces a full-window upload every block; over a remote
+    device transport (the axon tunnel) that transfer dominates the
+    whole receiver. Here the window lives on the device: ``advance()``
+    uploads only the FRESH block (or accepts device-resident fresh
+    samples from a device source at zero transfer cost) and rolls the
+    window with one jitted concatenate. ``re``/``im`` are jax arrays;
+    every downstream consumer (conv acquisition, all tracking paths)
+    takes them without a host round trip.
+    """
+
+    def __init__(self, history: int, block: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.h = history
+        self.b = block
+        self.re = jnp.zeros(history + block, jnp.float32)
+        self.im = jnp.zeros(history + block, jnp.float32)
+        self.global_start = -history
+        self.blocks_fed = 0
+        b = block
+
+        @jax.jit
+        def _roll(old_re, old_im, fre, fim):
+            return (jnp.concatenate([old_re[b:], fre]),
+                    jnp.concatenate([old_im[b:], fim]))
+
+        self._roll = _roll
+
+    @property
+    def buf(self) -> np.ndarray:
+        """Complex numpy view (downloads; diagnostics/checkpoint only)."""
+        return (np.asarray(self.re) + 1j * np.asarray(self.im)).astype(
+            np.complex64)
+
+    def advance(self, fresh) -> Optional[int]:
+        import jax.numpy as jnp
+
+        if fresh is None:
+            return None
+        if isinstance(fresh, tuple):
+            fre, fim = fresh
+        elif fresh.size == 0:
+            return None
+        else:
+            fre = np.real(fresh).astype(np.float32)
+            fim = np.imag(fresh).astype(np.float32)
+        n = int(fre.shape[0])
+        if n == 0:
+            return None
+        if n < self.b:
+            # short tail block: zero-pad (host-side if numpy)
+            if isinstance(fre, np.ndarray):
+                fre = np.pad(fre, (0, self.b - n))
+                fim = np.pad(fim, (0, self.b - n))
+            else:
+                fre = jnp.pad(fre, (0, self.b - n))
+                fim = jnp.pad(fim, (0, self.b - n))
+        self.re, self.im = self._roll(
+            self.re, self.im, jnp.asarray(fre), jnp.asarray(fim))
+        self.global_start += self.b
+        self.blocks_fed += 1
+        return n
+
+    def load(self, re, im) -> None:
+        import jax.numpy as jnp
+
+        self.re = jnp.asarray(np.asarray(re, np.float32))
+        self.im = jnp.asarray(np.asarray(im, np.float32))
 
     def to_global(self, local_index: int) -> int:
         return self.global_start + local_index

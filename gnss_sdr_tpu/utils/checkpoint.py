@@ -23,7 +23,7 @@ import numpy as np
 if TYPE_CHECKING:  # deferred: utils must stay importable from receiver
     from ..receiver.pipeline import Receiver
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # 2: planar window_re/window_im replace window_buf
 
 
 def receiver_state(rx: "Receiver") -> dict[str, Any]:
@@ -34,7 +34,8 @@ def receiver_state(rx: "Receiver") -> dict[str, Any]:
             name: np.asarray(leaf)
             for name, leaf in rx.state._asdict().items()
         },
-        "window_buf": rx.window.buf.copy(),
+        "window_re": np.array(rx.window.re, np.float32, copy=True),
+        "window_im": np.array(rx.window.im, np.float32, copy=True),
         "window_global_start": rx.window.global_start,
         "blocks_fed": rx.window.blocks_fed,
         "time_ms": rx.time_ms,
@@ -71,7 +72,7 @@ def restore(rx: "Receiver", path: str) -> "Receiver":
     rx.state = trk.ChannelState(**{
         k: np.asarray(v) for k, v in snap["tracking"].items()
     })
-    rx.window.buf[:] = snap["window_buf"]
+    rx.window.load(snap["window_re"], snap["window_im"])
     rx.window.global_start = snap["window_global_start"]
     rx.window.blocks_fed = snap["blocks_fed"]
     rx.time_ms = snap["time_ms"]

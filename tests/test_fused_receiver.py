@@ -52,7 +52,7 @@ class TestFusedReceiver:
         rx, _ = _run("fused", blocks=18)
         checked = 0
         for ch, nav in rx.nav.channels.items():
-            hist = nav._hist
+            hist = nav.history()
             keys = sorted(hist)[5:]
             if len(keys) < 20:
                 continue

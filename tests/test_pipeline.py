@@ -166,3 +166,42 @@ class TestFrontEndIntegration:
         trace = [t for t in rx.telemetry.all_traces() if t.prn == 23][0]
         settled = np.mean(np.asarray(trace.carr_freq)[-50:])
         assert settled == pytest.approx(truth_doppler, abs=4.0)
+
+
+class TestDeviceStreamWindow:
+    """DeviceStreamWindow (accelerator backends) must behave exactly
+    like the host StreamWindow; exercised here on the CPU backend."""
+
+    def test_parity_with_host_window(self):
+        from gnss_sdr_tpu.receiver.stream import (DeviceStreamWindow,
+                                                  StreamWindow)
+
+        rng = np.random.default_rng(5)
+        h, b = 64, 256
+        host = StreamWindow(h, b)
+        dev = DeviceStreamWindow(h, b)
+        for k in range(4):
+            fre = rng.standard_normal(b).astype(np.float32)
+            fim = rng.standard_normal(b).astype(np.float32)
+            assert host.advance((fre, fim)) == dev.advance((fre, fim))
+        # short tail block (zero-padded)
+        fre = rng.standard_normal(100).astype(np.float32)
+        fim = rng.standard_normal(100).astype(np.float32)
+        assert host.advance((fre, fim)) == dev.advance((fre, fim)) == 100
+        np.testing.assert_array_equal(host.re, np.asarray(dev.re))
+        np.testing.assert_array_equal(host.im, np.asarray(dev.im))
+        assert host.global_start == dev.global_start
+        assert host.blocks_fed == dev.blocks_fed
+        # complex view + load round-trip
+        np.testing.assert_array_equal(host.buf, dev.buf)
+        dev2 = DeviceStreamWindow(h, b)
+        dev2.load(np.asarray(dev.re), np.asarray(dev.im))
+        np.testing.assert_array_equal(np.asarray(dev2.re),
+                                      np.asarray(dev.re))
+
+    def test_end_of_stream(self):
+        from gnss_sdr_tpu.receiver.stream import DeviceStreamWindow
+
+        dev = DeviceStreamWindow(8, 16)
+        assert dev.advance(None) is None
+        assert dev.advance(np.zeros(0, np.complex64)) is None
