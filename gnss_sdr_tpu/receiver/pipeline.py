@@ -144,6 +144,8 @@ class Receiver:
             self.fs, self.spec.code_period_s, self.spec.code_length_chips
         )
         self.active: dict[int, int] = {}   # prn -> channel
+        self._codes_key = None
+        self._codes_ch = None
         self.time_ms = 0.0
         self.acq_events: list = []
         self.timers = StageTimer()
@@ -251,7 +253,15 @@ class Receiver:
 
         # one scan over the block for all channels (+1 catch-up epoch)
         with self.timers.stage("track", self.block):
-            codes_ch = self.codes_full[jnp.maximum(self.state.prn_idx, 0)]
+            # per-channel replica rows change only on channel
+            # (re)assignment: rebuilding every block costs a device
+            # gather per block (serialized on some backends)
+            key = tuple(np.asarray(self.state.prn_idx).tolist())
+            if key != self._codes_key:
+                self._codes_key = key
+                self._codes_ch = self.codes_full[
+                    jnp.maximum(self.state.prn_idx, 0)]
+            codes_ch = self._codes_ch
             re = self.window.re
             im = self.window.im
             if self.fused is not None and n_valid == self.block:
