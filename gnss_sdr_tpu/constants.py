@@ -42,6 +42,16 @@ GPS_SECONDS_PER_WEEK = 604_800.0
 GM_EARTH_M3_S2 = 3.986005e14          # WGS-84 value of Earth's GM (GPS ICD)
 OMEGA_E_DOT_RAD_S = 7.2921151467e-5   # Earth rotation rate
 F_RELATIVISTIC = -4.442807633e-10     # s/sqrt(m), relativistic clock corr.
+# per-constellation geodesy (Galileo OS ICD 5.1.1; BDS ICD 3.2 CGCS2000;
+# GLONASS ICD PZ-90.11)
+GAL_GM_M3_S2 = 3.986004418e14
+GAL_OMEGA_E_DOT_RAD_S = 7.2921151467e-5
+BDS_GM_M3_S2 = 3.986004418e14
+BDS_OMEGA_E_DOT_RAD_S = 7.2921150e-5
+GLO_GM_M3_S2 = 3.986004418e14         # PZ-90.11 geocentric constant
+GLO_OMEGA_E_DOT_RAD_S = 7.292115e-5
+GLO_J2 = 1.0826257e-3                 # second zonal harmonic
+GLO_A_E_M = 6_378_136.0               # PZ-90 Earth radius
 
 # ---------------------------------------------------------------------------
 # Galileo E1 (OS)  — extended surface, no reference counterpart

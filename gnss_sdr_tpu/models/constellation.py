@@ -109,7 +109,10 @@ GLONASS_L1OF = SignalSpec(
     n_prn=14,  # FDMA channels, not PRNs; one shared code
     code_table=lambda n=14: glonass_l1of.code_table(n),
     sample_code=glonass_l1of.sample_code,
-    symbols_per_bit=20,  # 50 bit/s with meander
+    # the on-air modulation unit is the 10 ms bi-binary half-symbol
+    # (50 bit/s data x meander -> 100 Hz levels, nav/glonass_nav.py
+    # encode_bit_stream); time-mark symbols are 10 ms too
+    symbols_per_bit=10,
 )
 
 REGISTRY: dict[str, SignalSpec] = {

@@ -22,6 +22,9 @@ PI = 3.1415926535898  # GPS ICD value of pi (semicircle conversion)
 @dataclasses.dataclass
 class Ephemeris:
     prn: int = 0
+    #: constellation time/orbit convention: "gps" | "galileo" | "beidou"
+    #: (Keplerian broadcast models; GLONASS uses GlonassEphemeris)
+    system: str = "gps"
     # clock (subframe 1)
     week: int = 0
     ura: int = 0

@@ -22,13 +22,23 @@ def _wrap_week(t: np.ndarray) -> np.ndarray:
     return t
 
 
+def _gm_omega(system: str) -> tuple[float, float]:
+    """(GM, earth-rotation rate) for a Keplerian broadcast system."""
+    if system == "galileo":
+        return C.GAL_GM_M3_S2, C.GAL_OMEGA_E_DOT_RAD_S
+    if system == "beidou":
+        return C.BDS_GM_M3_S2, C.BDS_OMEGA_E_DOT_RAD_S
+    return C.GM_EARTH_M3_S2, C.OMEGA_E_DOT_RAD_S
+
+
 def satellite_clock_correction(eph: Ephemeris, t_sv: float) -> float:
     """SV clock offset (s) at transmit time, incl. relativistic term and
     group delay (for L1 users: subtract T_GD)."""
+    gm, _ = _gm_omega(getattr(eph, "system", "gps"))
     dt = float(_wrap_week(np.asarray(t_sv - eph.t_oc)))
     # eccentric anomaly for the relativistic term
     a = eph.sqrt_a**2
-    n = np.sqrt(C.GM_EARTH_M3_S2 / a**3) + eph.delta_n
+    n = np.sqrt(gm / a**3) + eph.delta_n
     tk = float(_wrap_week(np.asarray(t_sv - eph.t_oe)))
     mk = eph.m0 + n * tk
     ek = _kepler(mk, eph.e)
@@ -51,9 +61,14 @@ def satellite_position(
     eph: Ephemeris, t: float
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """ECEF position [m], velocity [m/s], and clock correction [s] at
-    GPS system time ``t`` (seconds of week, transmit time)."""
+    system time ``t`` (seconds of week, transmit time). Dispatches on
+    ``eph.system``: Keplerian broadcast models (GPS/Galileo/BeiDou, with
+    each ICD's GM and earth-rate) or the GLONASS PZ-90 integrator."""
+    if getattr(eph, "system", "gps") == "glonass":
+        return glonass_satellite_position(eph, t)
+    gm, omega_e = _gm_omega(getattr(eph, "system", "gps"))
     a = eph.sqrt_a**2
-    n0 = np.sqrt(C.GM_EARTH_M3_S2 / a**3)
+    n0 = np.sqrt(gm / a**3)
     tk = float(_wrap_week(np.asarray(t - eph.t_oe)))
     n = n0 + eph.delta_n
     mk = eph.m0 + n * tk
@@ -78,8 +93,8 @@ def satellite_position(
 
     omega_k = (
         eph.omega0
-        + (eph.omega_dot - C.OMEGA_E_DOT_RAD_S) * tk
-        - C.OMEGA_E_DOT_RAD_S * eph.t_oe
+        + (eph.omega_dot - omega_e) * tk
+        - omega_e * eph.t_oe
     )
     sin_o, cos_o = np.sin(omega_k), np.cos(omega_k)
     sin_i, cos_i = np.sin(i), np.cos(i)
@@ -100,7 +115,7 @@ def satellite_position(
     i_dot = eph.idot + 2.0 * phi_dot * (
         eph.c_is * cos2p - eph.c_ic * sin2p
     )
-    omega_k_dot = eph.omega_dot - C.OMEGA_E_DOT_RAD_S
+    omega_k_dot = eph.omega_dot - omega_e
 
     x_orb_dot = r_dot * np.cos(u) - r * np.sin(u) * u_dot
     y_orb_dot = r_dot * np.sin(u) + r * np.cos(u) * u_dot
@@ -117,3 +132,52 @@ def satellite_position(
 
     clock = satellite_clock_correction(eph, t)
     return pos, vel, clock
+
+
+# ---------------------------------------------------------------------------
+# GLONASS: PZ-90 state-vector propagation (ICD 5.1 appendix J.1)
+# ---------------------------------------------------------------------------
+
+def _glonass_accel(state: np.ndarray, acc_ls: np.ndarray) -> np.ndarray:
+    """ECEF equations of motion: central force + J2 + frame rotation
+    (Coriolis/centrifugal) + broadcast luni-solar acceleration."""
+    x, y, z, vx, vy, vz = state
+    r2 = x * x + y * y + z * z
+    r = np.sqrt(r2)
+    gm_r3 = C.GLO_GM_M3_S2 / (r2 * r)
+    j2c = 1.5 * C.GLO_J2 * C.GLO_GM_M3_S2 * C.GLO_A_E_M**2 / (r2 * r2 * r)
+    z2_r2 = z * z / r2
+    w = C.GLO_OMEGA_E_DOT_RAD_S
+    ax = (-gm_r3 * x - j2c * x * (1.0 - 5.0 * z2_r2)
+          + w * w * x + 2.0 * w * vy + acc_ls[0])
+    ay = (-gm_r3 * y - j2c * y * (1.0 - 5.0 * z2_r2)
+          + w * w * y - 2.0 * w * vx + acc_ls[1])
+    az = (-gm_r3 * z - j2c * z * (3.0 - 5.0 * z2_r2) + acc_ls[2])
+    return np.array([vx, vy, vz, ax, ay, az])
+
+
+def glonass_satellite_position(
+    geph, t_day_s: float, max_step_s: float = 60.0
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """PZ-90 ECEF position/velocity/clock at day time ``t_day_s``.
+
+    RK4 integration of the broadcast state from t_b (valid +/-15 min).
+    PZ-90.11 is aligned with ITRF at the cm level, so positions mix
+    directly with WGS-84/GTRF solutions at this receiver's accuracy.
+    """
+    dt = float(t_day_s - geph.t_b_s)
+    state = np.concatenate([
+        np.asarray(geph.pos_m, np.float64),
+        np.asarray(geph.vel_m_s, np.float64),
+    ])
+    acc = np.asarray(geph.acc_m_s2, np.float64)
+    n_steps = max(1, int(np.ceil(abs(dt) / max_step_s)))
+    h = dt / n_steps
+    for _ in range(n_steps):
+        k1 = _glonass_accel(state, acc)
+        k2 = _glonass_accel(state + 0.5 * h * k1, acc)
+        k3 = _glonass_accel(state + 0.5 * h * k2, acc)
+        k4 = _glonass_accel(state + h * k3, acc)
+        state = state + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    clock = geph.clock_correction(t_day_s)
+    return state[:3], state[3:], clock

@@ -21,13 +21,17 @@ from .orbits import satellite_position
 @dataclasses.dataclass
 class PvtSolution:
     position_ecef_m: np.ndarray      # [3]
-    clock_bias_m: float              # receiver clock bias * c
+    clock_bias_m: float              # receiver clock bias * c (1st system)
     residuals_m: np.ndarray          # [n_sat]
     gdop: float
     n_iterations: int
     latitude_deg: float
     longitude_deg: float
     height_m: float
+    #: per-constellation receiver clock bias * c; multi-system solves
+    #: estimate one bias per system (inter-system bias absorbs the
+    #: GGTO/BDT/GLONASST offsets, so no a-priori offset model is needed)
+    clock_bias_by_system_m: dict = dataclasses.field(default_factory=dict)
 
 
 def _rot_z(theta: float) -> np.ndarray:
@@ -76,6 +80,16 @@ def solve_pvt(
     pr = np.asarray(pseudoranges_m, dtype=np.float64)
     cc = C.SPEED_OF_LIGHT_M_S
 
+    # per-constellation clock columns: mixing systems adds one receiver
+    # clock unknown per system (absorbs GPS-GST/BDT/GLONASST offsets)
+    systems = [getattr(e, "system", "gps") for e in ephemerides]
+    sys_list = list(dict.fromkeys(systems))       # stable order
+    sys_idx = np.array([sys_list.index(s) for s in systems])
+    n_sys = len(sys_list)
+    n_unk = 3 + n_sys
+    if n < n_unk:
+        return None
+
     sat_pos = np.zeros((n, 3))
     sat_clk = np.zeros(n)
     for k in range(n):
@@ -85,19 +99,19 @@ def solve_pvt(
 
     def model(x):
         rho = np.zeros(n)
-        h = np.zeros((n, 4))
+        h = np.zeros((n, n_unk))
         for k in range(n):
             # Sagnac: rotate satellite into the ECEF frame at reception
             tof = np.linalg.norm(sat_pos[k] - x[:3]) / cc
             p_rot = _rot_z(C.OMEGA_E_DOT_RAD_S * tof) @ sat_pos[k]
             d = p_rot - x[:3]
             r = np.linalg.norm(d)
-            rho[k] = r + x[3] - cc * sat_clk[k]
+            rho[k] = r + x[3 + sys_idx[k]] - cc * sat_clk[k]
             h[k, :3] = -d / r
-            h[k, 3] = 1.0
+            h[k, 3 + sys_idx[k]] = 1.0
         return rho, h
 
-    x = np.zeros(4)
+    x = np.zeros(n_unk)
     if initial_position is not None:
         x[:3] = initial_position
     it = 0
@@ -127,6 +141,9 @@ def solve_pvt(
         latitude_deg=lat,
         longitude_deg=lon,
         height_m=hgt,
+        clock_bias_by_system_m={
+            s: float(x[3 + j]) for j, s in enumerate(sys_list)
+        },
     )
 
 

@@ -207,9 +207,10 @@ def _kernel(
     # code_rate, and the re-anchor would absorb the fictitious motion —
     # a positive-feedback runaway (observed: prompt power collapse
     # after ~1-2 s). The variant index tracks the accumulated code
-    # residual in integer samples: shift = drift - round((chip_res +
-    # frac0) / dc); the DLL handles the sub-sample remainder exactly as
-    # in the scanned path. Only PROMPT variants are stored; early/late
+    # residual in integer samples: shift = drift - floor((chip_res +
+    # frac0) / dc) — FLOOR, matching the floor-quantized replica
+    # convention in build_replicas; the DLL handles the sub-sample
+    # remainder exactly as in the scanned path. Only PROMPT variants are stored; early/late
     # are exact +/-el_shift sample shifts of the prompt, realized as
     # static circular rolls — the masked window zeroes every wrapped
     # term (the epoch body sits >= el_shift lanes from the window

@@ -33,13 +33,17 @@ class TeeSource:
     Replaces the reference's SPMC MulticastRingBuffer role at the host
     boundary (multicast_ring_buffer.rs:36-132): one producer, many
     consumers at independent positions, bounded skew enforced by the
-    per-branch buffers.
+    per-branch buffers: a branch that falls more than ``max_skew``
+    samples behind the fastest consumer raises instead of buffering
+    without bound (the ring-buffer analogue of an overrun).
     """
 
-    def __init__(self, source: SampleSource, n_branches: int):
+    def __init__(self, source: SampleSource, n_branches: int,
+                 max_skew: int = 64_000_000):
         self.source = source
         self._buffers: list[list[np.ndarray]] = [[] for _ in range(n_branches)]
         self._eos = False
+        self.max_skew = int(max_skew)
 
     def branch(self, idx: int) -> _TeeBranch:
         return _TeeBranch(self, idx)
@@ -52,8 +56,17 @@ class TeeSource:
             if fresh is None or fresh.size == 0:
                 self._eos = True
                 break
-            for b in self._buffers:
+            for j, b in enumerate(self._buffers):
                 b.append(fresh)
+                if j != idx:
+                    lag = sum(a.size for a in b)
+                    if lag > self.max_skew:
+                        raise RuntimeError(
+                            f"TeeSource branch {j} lags > {self.max_skew} "
+                            "samples behind branch "
+                            f"{idx} (consumers diverged; raise max_skew "
+                            "or drain branches at matched rates)"
+                        )
             have += fresh.size
         if not buf:
             return None

@@ -26,6 +26,113 @@ from ..nav.pvt import PvtSolution, solve_pvt, solve_velocity
 
 
 @dataclasses.dataclass
+class AnchorEvent:
+    """A decoded time mark: transmit time ``tow_s`` (seconds of the
+    constellation's week) at the start of tracking epoch ``epoch``."""
+
+    epoch: int
+    tow_s: float
+    payload: object = None      # Subframe / InavWord / ... (diagnostics)
+
+
+class GpsLnavChain:
+    """GPS L1 C/A: 20 ms bit sync -> LNAV frames -> ephemeris."""
+
+    signal = "gps_l1ca"
+
+    def __init__(self, prn: int):
+        self.prn = prn
+        self.bit_sync = BitSynchronizer()
+        self.frames = FrameDecoder()
+        self.assembler = EphemerisAssembler()
+        self.count = 0
+        self.ephemeris: Optional[Ephemeris] = None
+
+    def feed_array(self, i_prompts, epochs) -> list[AnchorEvent]:
+        events = []
+        for bit, _ in self.bit_sync.feed_array(i_prompts, epochs):
+            sf = self.frames.feed(bit)
+            if sf is None:
+                continue
+            self.count += 1
+            sf_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
+            eph = self.assembler.feed(self.prn, sf)
+            if eph is not None:
+                self.ephemeris = eph
+            # HOW TOW marks the NEXT subframe start (IS-GPS-200
+            # 20.3.3.2): this subframe's first bit sits at tow - 6 s
+            events.append(AnchorEvent(epoch=sf_epoch,
+                                      tow_s=sf.tow_s - 6.0, payload=sf))
+        return events
+
+    def status(self) -> dict:
+        return {
+            "bit_synced": self.bit_sync.synced,
+            "frame_locked": self.frames.frame_locked,
+            "subframes": self.count,
+        }
+
+
+class GalileoInavChain:
+    """Galileo E1B: one symbol per 4 ms epoch -> I/NAV pages -> words."""
+
+    signal = "galileo_e1b"
+
+    def __init__(self, prn: int):
+        from ..nav.inav import InavDecoder
+
+        self.prn = prn
+        self.dec = InavDecoder(prn)
+        self._last_gst_id = None
+
+    @property
+    def ephemeris(self):
+        return self.dec.ephemeris
+
+    @property
+    def count(self) -> int:
+        return self.dec.word_count
+
+    def feed_array(self, i_prompts, epochs) -> list[AnchorEvent]:
+        words = self.dec.feed_array(i_prompts, epochs)
+        events = []
+        for w in words:
+            if w.word_type != 5 or w.even_page_epoch is None:
+                continue
+            g = self.dec.assembler.gst
+            if g is None or g.even_page_index != w.even_page_index:
+                continue
+            events.append(AnchorEvent(epoch=w.even_page_epoch,
+                                      tow_s=g.tow_s, payload=w))
+        return events
+
+    def status(self) -> dict:
+        return {
+            "bit_synced": self.dec.synced,
+            "frame_locked": self.dec.frame_locked,
+            "subframes": self.dec.word_count,
+        }
+
+
+def make_chain(signal: str, prn: int):
+    """Per-signal decode chain factory."""
+    if signal == "gps_l1ca":
+        return GpsLnavChain(prn)
+    if signal in ("galileo_e1b", "galileo_e1c"):
+        # E1C is the pilot (no data); decode chain applies to E1B
+        return GalileoInavChain(prn)
+    if signal == "beidou_b1i":
+        from ..nav.bds_d1 import BdsD1Chain
+
+        return BdsD1Chain(prn)
+    if signal == "glonass_l1of":
+        from ..nav.glonass_nav import GlonassNavChain
+
+        return GlonassNavChain(prn)
+    raise KeyError(f"no nav decode chain for signal {signal!r}")
+
+
+@dataclasses.dataclass
 class TimeAnchor:
     """GPS-time pin: the anchor epoch's window-start sample carries
     transmit time ``tow_s`` (s of week); ``chip_phase`` is the tracked
@@ -49,15 +156,17 @@ class ChannelNav:
     HIST_CAP = 8192
 
     def __init__(self, prn: int, code_period_s: float = 1e-3,
-                 code_length: int = 1023):
+                 code_length: int = 1023, signal: str = "gps_l1ca"):
         self.prn = prn
+        self.signal = signal
         self.code_period_s = code_period_s
         self.code_length = code_length
         self.code_rate = code_length / code_period_s
-        self.bit_sync = BitSynchronizer()
-        self.frames = FrameDecoder()
+        self.chain = make_chain(signal, prn)
+        # GPS-chain aliases (tests/diagnostics reach for these)
+        self.bit_sync = getattr(self.chain, "bit_sync", None)
+        self.frames = getattr(self.chain, "frames", None)
         self.anchor: Optional[TimeAnchor] = None
-        self.subframe_count = 0
         # epoch -> (global_sample, chip_phase, carr_freq) history as a
         # numpy ring keyed by epoch % HIST_CAP (a python dict updated
         # per epoch measured ~28 ms per 500 ms block at 24 channels —
@@ -98,60 +207,40 @@ class ChannelNav:
                 self._h_cp[valid], self._h_cf[valid])
         }
 
+    @property
+    def subframe_count(self) -> int:
+        return self.chain.count
+
     def feed_epoch(self, i_prompt: float, epoch: int,
                    global_sample: int,
                    chip_phase: float = 0.0,
-                   carr_freq: float = 0.0) -> Optional[Subframe]:
-        self._hist_put([epoch], [global_sample], [chip_phase],
-                       [carr_freq])
-        bit = self.bit_sync.feed(i_prompt, epoch)
-        if bit is None:
-            return None
-        sf = self.frames.feed(bit)
-        if sf is not None:
-            self.subframe_count += 1
-            bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            g0, cp0, _ = self._hist_get(
-                bit_epoch, (global_sample, 0.0, 0.0)
-            )
-            cp0_signed = cp0 if cp0 < self.code_length / 2 else cp0 - self.code_length
-            # the subframe's first bit starts at a code boundary whose
-            # transmit time is HOW TOW - 6 s; the anchor epoch's
-            # window-start sample sits cp0 chips past that boundary
-            self.anchor = TimeAnchor(
-                epoch=bit_epoch,
-                global_sample=g0,
-                tow_s=sf.tow_s - 6.0 + cp0_signed / self.code_rate,
-                chip_phase=cp0,
-            )
-        return sf
+                   carr_freq: float = 0.0) -> Optional[object]:
+        """Single-epoch convenience wrapper over feed_array."""
+        evs = self.feed_array([i_prompt], [epoch], [global_sample],
+                              [chip_phase], [carr_freq])
+        return evs[-1].payload if evs else None
 
     def feed_array(self, i_prompts, epochs, global_samples,
-                   chip_phases, carr_freqs) -> list:
+                   chip_phases, carr_freqs) -> list[AnchorEvent]:
         """Vectorized feed of one block's processed epochs for this
-        channel; equivalent to feed_epoch per row (bit sync is numpy-
-        vectorized; the rare completed bits and subframes stay in
-        python). Returns completed Subframes."""
+        channel (the decode chain is numpy-vectorized; the rare
+        completed frames stay in python). Returns anchor events."""
         self._hist_put(epochs, global_samples, chip_phases, carr_freqs)
-        out = []
         g_last = int(global_samples[-1]) if len(global_samples) else 0
-        for bit, bit_epoch in self.bit_sync.feed_array(i_prompts, epochs):
-            sf = self.frames.feed(bit)
-            if sf is None:
-                continue
-            self.subframe_count += 1
-            sf_bit_epoch = self.bit_sync.bit_epochs[sf.first_bit_index]
-            g0, cp0, _ = self._hist_get(sf_bit_epoch, (g_last, 0.0, 0.0))
+        events = self.chain.feed_array(i_prompts, epochs)
+        for ev in events:
+            g0, cp0, _ = self._hist_get(ev.epoch, (g_last, 0.0, 0.0))
             cp0_signed = cp0 if cp0 < self.code_length / 2 \
                 else cp0 - self.code_length
+            # the decoded time mark stamps a code-epoch boundary; the
+            # anchor epoch's window-start sample sits cp0 chips past it
             self.anchor = TimeAnchor(
-                epoch=sf_bit_epoch,
+                epoch=ev.epoch,
                 global_sample=g0,
-                tow_s=sf.tow_s - 6.0 + cp0_signed / self.code_rate,
+                tow_s=ev.tow_s + cp0_signed / self.code_rate,
                 chip_phase=cp0,
             )
-            out.append(sf)
-        return out
+        return events
 
     def smoothed_transmit_time(
         self, epoch: int, fs_hz: float, f_if_hz: float,
@@ -218,19 +307,19 @@ class NavProcessor:
     """All channels' nav chains + ephemeris store + PVT."""
 
     def __init__(self, fs_hz: float, code_period_s: float = 1e-3,
-                 code_length: int = 1023):
+                 code_length: int = 1023, signal: str = "gps_l1ca"):
         self.fs = fs_hz
         self.code_period_s = code_period_s
         self.code_length = code_length
+        self.signal = signal
         self.channels: dict[int, ChannelNav] = {}
-        self.assembler = EphemerisAssembler()
         self.ephemerides: dict[int, Ephemeris] = {}
         # per channel: latest (epoch, global_sample, chip_phase), for PVT
         self.latest: dict[int, tuple[int, int, float]] = {}
 
     def open_channel(self, channel: int, prn: int) -> None:
         self.channels[channel] = ChannelNav(
-            prn, self.code_period_s, self.code_length
+            prn, self.code_period_s, self.code_length, self.signal
         )
 
     def close_channel(self, channel: int) -> None:
@@ -251,11 +340,11 @@ class NavProcessor:
                 np.int64)
             e_rows = epochs[rows, ch]
             cp_rows = chips[rows, ch]
-            for sf in nav.feed_array(i_p[rows, ch], e_rows, g_rows,
-                                     cp_rows, carr[rows, ch]):
-                eph = self.assembler.feed(nav.prn, sf)
-                if eph is not None:
-                    self.ephemerides[nav.prn] = eph
+            nav.feed_array(i_p[rows, ch], e_rows, g_rows,
+                           cp_rows, carr[rows, ch])
+            eph = nav.chain.ephemeris
+            if eph is not None:
+                self.ephemerides[nav.prn] = eph
             self.latest[ch] = (int(e_rows[-1]), int(g_rows[-1]),
                                float(cp_rows[-1]))
 
@@ -263,9 +352,7 @@ class NavProcessor:
         return {
             ch: {
                 "prn": nav.prn,
-                "bit_synced": nav.bit_sync.synced,
-                "frame_locked": nav.frames.frame_locked,
-                "subframes": nav.subframe_count,
+                **nav.chain.status(),
                 "tow_anchor_s": nav.anchor.tow_s if nav.anchor else None,
                 "ephemeris": nav.prn in self.ephemerides,
             }

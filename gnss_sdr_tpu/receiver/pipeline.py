@@ -64,6 +64,15 @@ class Receiver:
         )
         self.mix_freq = stream_if if self.mix else 0.0
         self.fs = self.fs_in / self.decim
+        # the configured output rate must agree with the derived rate —
+        # downstream timing (code epochs, pseudoranges) uses the derived
+        # one, so a silent mismatch would corrupt every observable
+        if abs(cfg.rf.output_sample_rate_hz - self.fs) > 1e-6 * self.fs:
+            raise ValueError(
+                f"rf.output_sample_rate_hz={cfg.rf.output_sample_rate_hz:g}"
+                f" != source fs / decimation = {self.fs_in:g}/{self.decim}"
+                f" = {self.fs:g}"
+            )
         self.f_if = 0.0 if self.mix else stream_if
         self._fe_phase = np.uint32(0)
         self._fe_bias_re = np.float32(0.0)
@@ -80,6 +89,21 @@ class Receiver:
             )
         self.epochs_per_block = cfg.block_ms // period
         self.block = self.epochs_per_block * n0
+        if self.spec.name.startswith("galileo_e1"):
+            from ..models.codes import galileo_e1 as _gal
+
+            comp = "E1B" if self.spec.name.endswith("b") else "E1C"
+            if _gal.using_surrogate_codes(comp):
+                import warnings
+
+                warnings.warn(
+                    f"signal={self.spec.name!r} is running on SURROGATE "
+                    "Galileo E1 codes (the ICD memory codes are data, not "
+                    "generatable); real-sky captures will acquire nothing. "
+                    "Load the ICD hex tables via "
+                    "models.codes.galileo_e1.load_codes_hex().",
+                    stacklevel=2,
+                )
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs,
                                         self.f_if)
         acq_len = self.engine.samples_needed  # +1 period on linear paths
@@ -141,7 +165,8 @@ class Receiver:
         self.scheduler = SearchScheduler(cfg.acq)
         self.telemetry = TelemetryLog(cfg.track.n_channels)
         self.nav = NavProcessor(
-            self.fs, self.spec.code_period_s, self.spec.code_length_chips
+            self.fs, self.spec.code_period_s, self.spec.code_length_chips,
+            signal=self.spec.name,
         )
         self.active: dict[int, int] = {}   # prn -> channel
         self._codes_key = None

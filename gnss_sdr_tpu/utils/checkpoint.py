@@ -12,6 +12,10 @@ telemetry).
 The caller owns source positioning: resume the sample source at
 ``consumed_samples()`` input samples (the checkpoint stores the output
 position; multiply by the front-end decimation for raw-stream seeks).
+
+SECURITY: checkpoints are pickle files — loading one executes whatever
+the file says. Restore only checkpoints you wrote yourself (trusted
+paths); never load a checkpoint received from an untrusted source.
 """
 from __future__ import annotations
 
