@@ -499,14 +499,18 @@ def ephemeris_fields(eph: Ephemeris) -> dict[int, dict[str, float]]:
     }
 
 
-def encode_bit_stream(eph: Ephemeris, sow0: int, n_subframes: int = 6
-                      ) -> np.ndarray:
-    """+/-1 bit stream (50 bps) of consecutive D1 subframes 1..5,1..
-    Subframe k starts at SOW = sow0 + 6k (6 s per 300-bit subframe)."""
+def encode_bit_stream(eph: Ephemeris, sow0: int, n_subframes: int = 6,
+                      order=None) -> np.ndarray:
+    """+/-1 bit stream (50 bps) of consecutive D1 subframes.
+
+    Subframe k starts at SOW = sow0 + 6k (6 s per 300-bit subframe);
+    ``order`` overrides the default 1..5 FraID cycle (lead with an
+    almanac subframe, e.g. [5,1,2,3], so a cold-starting receiver's
+    lost first subframe is expendable)."""
     f = ephemeris_fields(eph)
     parts = []
     for k in range(n_subframes):
-        fra = k % 5 + 1
+        fra = order[k % len(order)] if order else k % 5 + 1
         parts.append(encode_subframe(fra, sow0 + 6 * k, f.get(fra, {})))
     bits01 = np.concatenate(parts)
     return (2 * bits01.astype(np.int8) - 1)

@@ -525,14 +525,17 @@ def ephemeris_fields(geph: GlonassEphemeris, tk_s: float
 
 
 def encode_bit_stream(geph: GlonassEphemeris, tk_s: float,
-                      n_strings: int = 8) -> np.ndarray:
-    """+/-1 half-symbol stream (100 Hz) of consecutive strings 1..15.
+                      n_strings: int = 8, order=None) -> np.ndarray:
+    """+/-1 half-symbol stream (100 Hz) of consecutive strings.
 
     models/signal.py modulates this at symbols_per_bit=10 (one level
-    per 10 code epochs)."""
+    per 10 code epochs). ``order`` overrides the default 1..15 string
+    cycle — lead with an almanac string (e.g. [15,1,2,3,4]) so the
+    string a cold-starting receiver loses is expendable; ``tk_s`` must
+    then be the day time at which string 1 starts."""
     f = ephemeris_fields(geph, tk_s)
     parts = []
     for k in range(n_strings):
-        m = k % 15 + 1
+        m = order[k % len(order)] if order else k % 15 + 1
         parts.append(encode_line(encode_string(m, f.get(m, {}))))
     return np.concatenate(parts).astype(np.int8)

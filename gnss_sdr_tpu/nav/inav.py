@@ -404,14 +404,18 @@ class InavAssembler:
 # ---------------------------------------------------------------------------
 
 def encode_symbol_stream(eph: Ephemeris, wn: int, tow0_s: float,
-                         n_pages: int = 12, iod_nav: int = 1) -> np.ndarray:
+                         n_pages: int = 12, iod_nav: int = 1,
+                         order: Optional[list] = None) -> np.ndarray:
     """On-air +/-1 E1B symbol stream of ``n_pages`` nominal pages.
 
-    Cycles word types [1,2,3,4,5,...]; each nominal page is 2 s (two
-    page parts). Word 5's TOW stamps the start of its own even part:
-    tow(page k) = tow0_s + 2k.
+    Cycles word types ``order`` (default [1,2,3,4,5]); each nominal
+    page is 2 s (two page parts). Word 5's TOW stamps the start of its
+    own even part: tow(page k) = tow0_s + 2k. A receiver cold-starting
+    mid-stream always loses the first page — lead with word 5 (``order
+    = [5,1,2,3,4]``) to keep the ephemeris words intact.
     """
-    order = [1, 2, 3, 4, 5]
+    if order is None:
+        order = [1, 2, 3, 4, 5]
     parts = []
     for k in range(n_pages):
         t = order[k % len(order)]

@@ -445,6 +445,7 @@ def pcps_search_conv(
     static_argnames=(
         "fs_hz", "n_int", "decim", "threshold", "seg_width",
         "fine", "fine_window_hz", "fine_steps", "fine_squaring",
+        "fine_n_sub",
     ),
 )
 def acquire_conv(
@@ -464,6 +465,7 @@ def acquire_conv(
     fine_window_hz: float = 500.0,
     fine_steps: int = 129,
     fine_squaring: bool = False,
+    fine_n_sub: int = 1,
 ) -> AcqResults:
     """Whole acquisition — coarse search, full-rate lag refinement, fine
     Doppler — as ONE jitted dispatch.
@@ -512,7 +514,7 @@ def acquire_conv(
             res.code_phase_samples, res.carrier_freq_hz,
             fs_hz=fs_hz, n_int=n_int,
             window_hz=fine_window_hz, n_steps=fine_steps,
-            squaring=fine_squaring,
+            squaring=fine_squaring, n_sub=fine_n_sub,
         )
         res = res._replace(carrier_freq_hz=freqs)
     return res
@@ -530,6 +532,7 @@ def fine_doppler_conv(
     window_hz: float = 500.0,
     n_steps: int = 129,
     squaring: bool = False,
+    n_sub: int = 1,
 ) -> jax.Array:
     """FFT-free fine Doppler for restricted backends (companion of
     fine_doppler, which needs jnp.fft — unavailable on the axon TPU
@@ -544,17 +547,43 @@ def fine_doppler_conv(
 
     ``squaring=True`` squares the per-period sums first, wiping residual
     BPSK (secondary/NH codes, data bits); the tone then sits at twice
-    the offset, so the grid spans +/- 2 * window_hz and the result is
-    halved (parity with fine_doppler's squaring mode).
+    the offset and the result is halved.
+
+    ALIAS HAZARD (squaring): the squared per-period series is sampled at
+    1/T_period, so offsets differing by k/(2*T_period) real Hz have
+    EXACTLY equal line power — a grid spanning beyond that is a coin
+    flip between the true tone and its alias (observed on TPU: Galileo
+    E1B handoff landing 250 Hz off, one full cycle per 4 ms epoch,
+    invisible to the Costas discriminator). ``n_sub > 1`` fixes this
+    unambiguously: each code period is split into n_sub sub-segments
+    (modulation is constant WITHIN a period for every supported signal
+    — data/secondary flips sit on period boundaries), and the phase
+    slope across within-period sub-segment pairs
+
+        delta1 = angle(sum_{m,s} z[m,s+1] * conj(z[m,s])) / (2 pi T_sub)
+
+    is modulation-free and unambiguous over +-n_sub/(2*T_period). The
+    line search then runs on delta1-derotated period sums over a narrow
+    alias-free span. ``n_sub`` must divide the period sample count.
     """
     n_fft = code_samples.shape[-1]
     length = n_int * n_fft
     p = code_samples.shape[0]
-    span = (2.0 * window_hz) if squaring else window_hz
+    two_pi = jnp.float32(2.0 * np.pi)
+    use_xprod = squaring and n_sub > 1 and (n_fft % n_sub == 0)
+    if use_xprod:
+        t_sub = n_fft / n_sub / fs_hz
+        # alias-free narrow span around the stage-1 estimate: the
+        # doubled-domain alias spacing is 1000/T_period_ms Hz; stay
+        # well inside it (stage-1 residual is a few Hz)
+        alias_hz = fs_hz / n_fft          # doubled-domain alias spacing
+        span = min(2.0 * window_hz, 0.45 * alias_hz)
+    else:
+        span = (2.0 * window_hz) if squaring else window_hz
     deltas = jnp.linspace(-span, span, n_steps).astype(jnp.float32)
     t_ms = (jnp.arange(n_int, dtype=jnp.float32) * n_fft
             / jnp.float32(fs_hz))                       # [M]
-    ph = deltas[:, None] * t_ms[None, :] * jnp.float32(2.0 * np.pi)
+    ph = deltas[:, None] * t_ms[None, :] * two_pi
     dft_c = jnp.cos(ph)                                  # [K, M]
     dft_s = jnp.sin(ph)
 
@@ -566,13 +595,32 @@ def fine_doppler_conv(
         rep = jnp.roll(code, cp)
         rep_long = jnp.tile(rep, n_int)
         theta = f0 / jnp.float32(fs_hz) * i
-        theta = (theta - jnp.floor(theta)) * jnp.float32(2.0 * np.pi)
+        theta = (theta - jnp.floor(theta)) * two_pi
         c = jnp.cos(theta)
         sn = jnp.sin(theta)
         wre = (xre * c + xim * sn) * rep_long
         wim = (xim * c - xre * sn) * rep_long
-        zre = wre.reshape(n_int, n_fft).sum(-1)          # [M]
-        zim = wim.reshape(n_int, n_fft).sum(-1)
+        delta1 = jnp.float32(0.0)
+        if use_xprod:
+            sre = wre.reshape(n_int, n_sub, n_fft // n_sub).sum(-1)
+            sim = wim.reshape(n_int, n_sub, n_fft // n_sub).sum(-1)
+            # within-period sub-segment cross products (data-free)
+            xr = (sre[:, 1:] * sre[:, :-1]
+                  + sim[:, 1:] * sim[:, :-1]).sum()
+            xi = (sim[:, 1:] * sre[:, :-1]
+                  - sre[:, 1:] * sim[:, :-1]).sum()
+            delta1 = jnp.arctan2(xi, xr) / (two_pi * jnp.float32(t_sub))
+            # derotate sub-segments by delta1, re-sum into period sums
+            ts = (jnp.arange(n_int, dtype=jnp.float32)[:, None] * n_fft
+                  + jnp.arange(n_sub, dtype=jnp.float32)[None, :]
+                  * (n_fft // n_sub)) / jnp.float32(fs_hz)   # [M, S]
+            ang = two_pi * delta1 * ts
+            dc, ds = jnp.cos(ang), jnp.sin(ang)
+            zre = (sre * dc + sim * ds).sum(-1)          # [M]
+            zim = (sim * dc - sre * ds).sum(-1)
+        else:
+            zre = wre.reshape(n_int, n_fft).sum(-1)      # [M]
+            zim = wim.reshape(n_int, n_fft).sum(-1)
         if squaring:
             zre, zim = zre * zre - zim * zim, 2.0 * zre * zim
         # residual tone power at each offset: |sum_m z_m e^{-j ph}|^2
@@ -583,7 +631,7 @@ def fine_doppler_conv(
         m = (pow_k == peak).astype(jnp.float32)
         m = m / jnp.maximum(m.sum(), 1.0)
         d_star = (m * deltas).sum()
-        return f0 + (d_star * 0.5 if squaring else d_star)
+        return f0 + delta1 + (d_star * 0.5 if squaring else d_star)
 
     return jax.vmap(one)(code_samples[:p], code_phase, coarse_freq)
 

@@ -198,6 +198,39 @@ class AcquisitionEngine:
         return r
 
     @property
+    def _fine_squaring(self) -> bool:
+        """Square before the fine-Doppler line search when ANY BPSK
+        modulation flips within the coherent window: secondary/NH codes,
+        or data symbols shorter than ~20 ms (Galileo E1B flips every
+        4 ms code period, GLONASS meander halves every 10 ms) — a flip
+        splits the carrier line and biases the estimate onto a Costas
+        alias (observed: E1B handoff landing 62.5 Hz off, a stable
+        false equilibrium of the 250 Hz-sampled atan discriminator)."""
+        if self.spec.secondary_code is not None:
+            return True
+        symbol_ms = self.spec.symbols_per_bit * self.spec.code_period_ms
+        return symbol_ms < 20
+
+    @property
+    def _fine_n_sub(self) -> int:
+        """Sub-period split for fine_doppler_conv's unambiguous
+        cross-product stage (see ops/pcps.py): with squaring, the
+        per-period line search cannot tell offsets apart that differ by
+        k/(2*T_period) — sub-period phase slopes can. Smallest divisor
+        of the period sample count giving >= 2 sub-segments whose
+        unambiguous range n_sub/(2*T_period) covers half a coarse
+        Doppler bin plus margin."""
+        if not self._fine_squaring:
+            return 1
+        t_period = self.n_fft / self.fs_hz
+        need = max(2.0, 2.0 * t_period * (self.cfg.doppler_step_hz / 2.0
+                                          + 150.0))
+        for s in range(int(np.ceil(need)), 65):
+            if self.n_fft % s == 0:
+                return s
+        return 1
+
+    @property
     def samples_needed(self) -> int:
         n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
         # the pow2 and conv linear paths correlate two-period blocks:
@@ -301,9 +334,10 @@ class AcquisitionEngine:
                     n_int=n_int,
                     zero_pad=self.cfg.fine_doppler_zero_pad,
                     window_hz=self.cfg.doppler_step_hz,
-                    # secondary/NH modulation splits the coherent
-                    # line; wipe it by squaring
-                    squaring=self.spec.secondary_code is not None,
+                    # secondary/NH codes AND fast data symbols
+                    # (E1B 4 ms, GLONASS 10 ms halves) split the
+                    # coherent line; wipe either by squaring
+                    squaring=self._fine_squaring,
                 )
             )
             freqs = np.where(detected, fine, freqs)
@@ -376,7 +410,8 @@ class AcquisitionEngine:
             seg_width=self.cfg.seg_width,
             fine=self.cfg.fine_doppler,
             fine_window_hz=float(self.cfg.doppler_step_hz),
-            fine_squaring=self.spec.secondary_code is not None,
+            fine_squaring=self._fine_squaring,
+            fine_n_sub=self._fine_n_sub,
         )
         detected = np.asarray(res.detected)
         if not detected.any():

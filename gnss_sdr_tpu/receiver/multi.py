@@ -101,3 +101,64 @@ class MultiConstellationReceiver:
 
     def summary(self) -> dict:
         return {name: rx.summary() for name, rx in self.receivers.items()}
+
+    # -- multi-constellation observables fusion + PVT -------------------
+    def observables(self, min_total: int = 4):
+        """Merge every constellation's observables at one common
+        receiver epoch.
+
+        Each per-signal NavProcessor contributes its usable channels
+        (``min_channels=1``); transmit times are re-referenced to the
+        EARLIEST per-receiver reference instant (all branches consume
+        the same stream, so ``g_ref / fs`` is a shared time base even
+        across different decimations), and one common nominal reception
+        time forms the pseudoranges. Per-system time-scale offsets
+        (GPS-GST/BDT/GLONASST) survive into the pseudoranges as
+        per-system constants — exactly what nav/pvt.py's per-system
+        clock unknowns absorb.
+        """
+        per = []
+        for name, rx in self.receivers.items():
+            obs = rx.nav.observables(min_channels=1)
+            if obs is None:
+                continue
+            per.append((name, rx, obs))
+        if not per:
+            return None
+        t_ref = min(obs["g_ref"] / rx.fs for _, rx, obs in per)
+        prns, txs, ephs, systems = [], [], [], []
+        for name, rx, obs in per:
+            dt = t_ref - obs["g_ref"] / rx.fs   # <= 0: shift backwards
+            for prn, tx, eph in zip(obs["prns"], obs["transmit_times_s"],
+                                    obs["ephemerides"]):
+                prns.append(prn)
+                txs.append(tx + dt)
+                ephs.append(eph)
+                systems.append(getattr(eph, "system", "gps"))
+        if len(prns) < min_total:
+            return None
+        from .. import constants as C
+
+        t0 = max(txs) + 0.068
+        prs = [(t0 - tx) * C.SPEED_OF_LIGHT_M_S for tx in txs]
+        return {
+            "prns": prns,
+            "systems": systems,
+            "pseudoranges_m": prs,
+            "transmit_times_s": txs,
+            "ephemerides": ephs,
+            "rx_time_nominal_s": t0,
+        }
+
+    def compute_pvt(self):
+        """Mixed-constellation single-point solution (one receiver
+        clock unknown per system; see nav/pvt.py)."""
+        from ..nav.pvt import solve_pvt
+
+        obs = self.observables()
+        if obs is None:
+            return None
+        return solve_pvt(
+            obs["pseudoranges_m"], obs["ephemerides"],
+            obs["transmit_times_s"],
+        )

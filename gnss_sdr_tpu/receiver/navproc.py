@@ -361,12 +361,15 @@ class NavProcessor:
 
     def observables(self, smooth_epochs: int = 0,
                     f_if_hz: float = 0.0,
-                    carrier_freq_hz: float = 1_575_420_000.0):
+                    carrier_freq_hz: float = 1_575_420_000.0,
+                    min_channels: int = 4):
         """Raw observables at the latest common receiver epoch.
 
-        Returns None (fewer than 4 usable channels) or a dict:
-        prns, pseudoranges_m, transmit_times_s, ephemerides, g_ref
-        (common receiver sample), rx_time_nominal_s."""
+        Returns None (fewer than ``min_channels`` usable channels) or a
+        dict: prns, pseudoranges_m, transmit_times_s, ephemerides, g_ref
+        (common receiver sample), rx_time_nominal_s. Multi-constellation
+        fusion calls with ``min_channels=1`` and merges across receivers
+        (receiver/multi.py)."""
         usable = []
         for ch, nav in self.channels.items():
             if nav.anchor is None or nav.prn not in self.ephemerides:
@@ -374,7 +377,7 @@ class NavProcessor:
             if ch not in self.latest:
                 continue
             usable.append((ch, nav))
-        if len(usable) < 4:
+        if len(usable) < min_channels:
             return None
         # common receiver reference: earliest of the channels' latest
         # samples (all channels have reached it)

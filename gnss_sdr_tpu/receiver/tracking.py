@@ -148,13 +148,25 @@ class TrackParams:
             cfg.dll_bandwidth_hz, cfg.dll_damping, cfg.dll_gain
         )
         n0 = spec.samples_per_code(fs_hz)
+        el_chips = cfg.early_late_chips
+        if spec.boc_cycles_per_chip:
+            # BOC(n,n) ACF: main peak at 0, -0.5 sidelobes at +-0.5/n
+            # chip. With the BPSK-default +-0.5-chip E/L offsets the
+            # envelope discriminator has STABLE false zeros at
+            # +-0.25/n chip (E and L land on equal-magnitude lobe
+            # flanks): measured on E1B, the DLL parks exactly one
+            # sample (0.25 chip) off, the prompt sits at 0.25x
+            # amplitude, and noise swings it onto the -0.5 sidelobe
+            # (2x-amplitude sign-flipped symbols, ~0.7% SER). Keep the
+            # E/L pair inside the main lobe instead.
+            el_chips = min(el_chips, 0.25 / spec.boc_cycles_per_chip)
         return cls(
             fs_hz=fs_hz,
             code_length=spec.code_length_chips,
             oversample=max(1, 2 * spec.boc_cycles_per_chip),
             window=n0 + cfg.window_margin,
             nominal_code_rate=spec.code_rate_hz,
-            el_space=cfg.early_late_chips,
+            el_space=el_chips,
             lock_threshold=cfg.lock_threshold,
             max_lost_epochs=cfg.max_lost_epochs,
             pll_tau1=pll_tau1,
@@ -165,7 +177,7 @@ class TrackParams:
             correlator=cfg.correlator,
             el_shift=max(
                 1,
-                int(round(cfg.early_late_chips * fs_hz / spec.code_rate_hz)),
+                int(round(el_chips * fs_hz / spec.code_rate_hz)),
             ),
             interp_code=cfg.interp_code,
             lock_mode=cfg.lock_mode,
@@ -191,7 +203,15 @@ def make_sampled_code_table(
 
     n0 = spec.samples_per_code(fs_hz)
     w = window or (n0 + 64)
-    need = 2 * n0 + w + 64
+    # margin 256, NOT 64: the fused path's build_replicas slices up to
+    # 2*n0 + wp - el_shift where wp is the window rounded UP to a
+    # multiple of 128 after a +63 drift margin (up to window + 190) —
+    # with a 64 margin the slice silently clamps for code phases
+    # anchored in the last ~126 samples of the period, handing the
+    # kernel a misaligned replica for the entire block (observed as a
+    # whole-block power collapse when the chip ledger crossed the
+    # period wrap)
+    need = 2 * n0 + w + 256
     reps = int(np.ceil(need / n0)) + 1
     rows = []
     for p in range(1, (n_prn or spec.n_prn) + 1):
