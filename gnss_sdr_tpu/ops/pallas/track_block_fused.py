@@ -24,9 +24,15 @@ channel batch:
     column slices, written as one masked full-array store;
   * arctan is a polynomial (no Mosaic atan lowering).
 
-v1 scope: 'power' lock mode, no carrier aiding; in-block phase
-accumulation in f32 (the receiver's exact u32 ledger re-anchors at
-block boundaries).
+In-block phase accumulation is f32 (the receiver's exact u32 ledger
+re-anchors at block boundaries). Full feature set of the scanned XLA
+path (receiver/tracking.py): carrier aiding (``aiding_scale`` /
+``if_freq`` statics — the effective code rate follows the carrier
+Doppler), Costas-EMA lock mode (``lock_mode='costas'``, EMA in state
+col 11), and sub-sample code interpolation (``interp=True`` blends the
+two adjacent integer-shift replica variants by the fractional-sample
+remainder — the sample-domain analogue of the slice correlator's
+chip-domain interpolation, same quantization-bias suppression).
 
 State columns: 0 carr_freq 1 carr_phase(cyc) 2 carr_err 3 code_rate
 4 chip_res(chips, residual vs block-start replica) 5 code_err
@@ -34,7 +40,7 @@ State columns: 0 carr_freq 1 carr_phase(cyc) 2 carr_err 3 code_rate
 shared-stream mode only: the channel's epoch start within the shared
 double-length window) 10 frac0(chips, block-start replica rounding
 residual — the in-kernel replica select subtracts it so the replica
-follows the chip ledger in integer samples)
+follows the chip ledger in integer samples) 11 lock_ema (costas mode)
 
 Telemetry columns: 0 i_e 1 q_e 2 i_p 3 q_p 4 i_l 5 q_l 6 power
 7 locked 8 pll_err 9 dll_err 10 carr_freq 11 code_rate 12 n_t 13 drift
@@ -89,6 +95,11 @@ def _kernel(
     dll_c2: float,
     el_shift: int = 1,
     resident: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
 ):
     t = pl.program_id(0)
     n_epochs = pl.num_programs(0)
@@ -116,11 +127,20 @@ def _kernel(
     drift = col(8)
     woff = col(9)          # resident mode: shared-window channel offset
     frac0 = col(10)        # chips: block-start replica quantization
-                           # residual, cp0 - round(cp0/dc0)*dc0
+                           # residual, cp0 - floor(cp0/dc0)*dc0
+    lock_ema = col(11)     # costas lock-mode EMA
 
     fs_f = jnp.float32(fs)
-    dc = code_rate / fs_f                              # [C, 1]
-    n_t_f = jnp.round(fs_f * jnp.float32(code_len) / code_rate)
+    if aiding_scale != 0.0:
+        # carrier-aided effective code rate: Doppler scales the chip
+        # rate by code_rate/carrier (parity with the scanned path)
+        code_rate_eff = code_rate + (
+            carr_freq - jnp.float32(if_freq)
+        ) * jnp.float32(aiding_scale)
+    else:
+        code_rate_eff = code_rate
+    dc = code_rate_eff / fs_f                          # [C, 1]
+    n_t_f = jnp.round(fs_f * jnp.float32(code_len) / code_rate_eff)
 
     # windows; valid epoch lanes are [start_lane, start_lane + n_t)
     if resident:
@@ -215,11 +235,25 @@ def _kernel(
     # static circular rolls — the masked window zeroes every wrapped
     # term (the epoch body sits >= el_shift lanes from the window
     # ends), so the roll equals the true shifted replica.
-    shift = drift - jnp.floor((chip_res + frac0) / dc)
+    q = (chip_res + frac0) / dc
+    q_floor = jnp.floor(q)
+    shift = drift - q_floor
     prompt = jnp.zeros((drift.shape[0], wp), jnp.float32)
-    for d in range(n_drift):
-        sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
-        prompt = prompt + sel_d * reps_ref[:, d, :]
+    if interp:
+        # sub-sample interpolation: the ideal replica delay is
+        # floor(q) + f samples; blend the floor variant with the
+        # one-sample-later variant (index shift - 1) by f
+        f_sub = q - q_floor                            # [C, 1] in [0, 1)
+        for d in range(n_drift):
+            sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
+            sel_m = (shift == jnp.float32(d - half + 1)).astype(
+                jnp.float32)
+            w_d = (1.0 - f_sub) * sel_d + f_sub * sel_m
+            prompt = prompt + w_d * reps_ref[:, d, :]
+    else:
+        for d in range(n_drift):
+            sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
+            prompt = prompt + sel_d * reps_ref[:, d, :]
     if rem_i is not None:
         # unaligned resident mode: the replica was anchored for a
         # window starting at sample t*n0, the VMEM slice starts rem
@@ -237,7 +271,19 @@ def _kernel(
     q_l = jnp.sum(im_w * late, axis=1, keepdims=True)
 
     power = i_p * i_p + q_p * q_p
-    locked = power > jnp.float32(lock_threshold)
+    if lock_mode == "costas":
+        # normalized (I^2-Q^2)/(I^2+Q^2) EMA (parity with the scanned
+        # path, receiver/tracking.py lock_mode='costas')
+        nbd = i_p * i_p - q_p * q_p
+        metric = nbd / jnp.maximum(power, 1e-12)
+        alpha = jnp.float32(0.1)
+        new_lock_ema = jnp.where(
+            active > 0.5,
+            (1.0 - alpha) * lock_ema + alpha * metric, lock_ema)
+        locked = new_lock_ema > jnp.float32(costas_thr)
+    else:
+        new_lock_ema = lock_ema
+        locked = power > jnp.float32(lock_threshold)
 
     safe_ip = jnp.where(jnp.abs(i_p) < 1e-12, 1e-12, i_p)
     pll_err = _atan_poly(q_p / safe_ip) * jnp.float32(1.0 / TWO_PI)
@@ -293,6 +339,7 @@ def _kernel(
         (8, sel(new_drift, drift)),
         (9, woff),
         (10, frac0),
+        (11, jnp.where(died, 0.0, new_lock_ema)),
     ])
 
     wr = jnp.where(act, 1.0, 0.0)
@@ -317,6 +364,7 @@ def _kernel(
     static_argnames=(
         "n0", "fs", "code_len", "lock_threshold", "max_lost",
         "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
+        "aiding_scale", "if_freq", "lock_mode", "costas_thr", "interp",
     ),
 )
 def track_block_fused(
@@ -336,6 +384,11 @@ def track_block_fused(
     dll_c2: float = 0.0,
     el_shift: int = 1,
     interpret: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
 ):
     """Run T sequential tracking epochs in one kernel launch.
 
@@ -350,7 +403,9 @@ def track_block_fused(
             n_drift=n_drift, wp=wp, n0=n0, fs=fs, code_len=code_len,
             lock_threshold=lock_threshold, max_lost=max_lost,
             pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
-            el_shift=el_shift,
+            el_shift=el_shift, aiding_scale=aiding_scale,
+            if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
+            interp=interp,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
@@ -384,6 +439,7 @@ def track_block_fused(
         "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
         "lock_threshold", "max_lost",
         "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
+        "aiding_scale", "if_freq", "lock_mode", "costas_thr", "interp",
     ),
 )
 def track_block_fused_resident(
@@ -406,6 +462,11 @@ def track_block_fused_resident(
     dll_c2: float = 0.0,
     el_shift: int = 1,
     interpret: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
 ):
     """Shared-stream fused tracking: ONE copy of the IQ stream serves
     every channel.
@@ -441,7 +502,8 @@ def track_block_fused_resident(
             code_len=code_len, lock_threshold=lock_threshold,
             max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
             dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
-            resident=True,
+            resident=True, aiding_scale=aiding_scale, if_freq=if_freq,
+            lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k, c_channels, N_FIELDS), jnp.float32),
@@ -563,13 +625,24 @@ def slice_windows(block_re, block_im, offsets, t_epochs: int, n0: int,
 
 
 def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
-                   n0: int, wp: int, n_drift: int = 9):
+                   n0: int, wp: int, n_drift: int = 9, anchor=None):
     """XLA pre-step: [C, n_drift, WP] PROMPT replica rows at integer
     drift shifts around each channel's current code phase (early/late
     come from in-kernel rolls of the selected prompt row).
 
-    ``codes3x``: [C, >= 2*n0 + wp + 2*el_shift] sampled nominal-rate
+    ``codes3x``: [C, >= 2*n0 + wp - el_shift] sampled nominal-rate
     code (tiled); ``chip_phase``: [C] chips at the channel's offset.
+
+    ``anchor`` ([C] int32, optional) supplies the sample anchor
+    s_i = floor(chip_phase / chips_per_sample) precomputed by the
+    caller. The anchor MUST be floor-consistent with the frac0 state
+    column the kernel selects variants against: computing the same
+    f32 division in two places (host numpy for frac0, XLA here) can
+    disagree by one ulp exactly at a sample boundary, anchoring the
+    replica one sample away from where frac0 says it is — a whole-block
+    misalignment the in-kernel select cannot correct, which the DLL
+    then integrates into a runaway (observed with carrier aiding, whose
+    effective-rate arithmetic widens the divergence window).
 
     One dynamic slice per channel (only the code phase is dynamic);
     the n_drift x 3 variant rows are static sub-slices of that segment
@@ -578,6 +651,15 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
     half = (n_drift - 1) // 2
     el_pad = el_shift + half           # window preroll (see kernel)
     seg_len = wp + 2 * half
+    # worst-case slice end over anchors in [0, n0): a short table makes
+    # dynamic_slice CLAMP silently and the replica comes out misaligned
+    # by up to the shortfall — a whole-block tracking collapse
+    need = 2 * n0 + wp - el_shift
+    if codes3x.shape[-1] < need:
+        raise ValueError(
+            f"codes3x rows too short for build_replicas: have "
+            f"{codes3x.shape[-1]}, need >= {need} "
+            f"(= 2*n0 + wp - el_shift; see make_sampled_code_table)")
     out = []
     for c in range(codes3x.shape[0]):          # static unroll over C
         # FLOOR, not round: sampled signals/tables are floor-quantized
@@ -585,8 +667,11 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
         # an equivalence class starting at the floor boundary; a round
         # anchor is half-a-sample inconsistent with the in-kernel
         # floor-based shift and walks the DLL off the peak
-        s_f = chip_phase[c] / chips_per_sample[c]
-        s_i = jnp.floor(s_f).astype(jnp.int32)
+        if anchor is None:
+            s_f = chip_phase[c] / chips_per_sample[c]
+            s_i = jnp.floor(s_f).astype(jnp.int32)
+        else:
+            s_i = anchor[c]
         n0_i = jnp.int32(n0)
         s_i = jnp.where(s_i >= n0_i, s_i - n0_i, s_i)
         s_i = jnp.where(s_i < 0, s_i + n0_i, s_i)

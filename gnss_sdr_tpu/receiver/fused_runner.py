@@ -25,8 +25,9 @@ Lifecycle corners handled here, not in the kernel:
     moves by its accumulated drift each block. If it falls below the
     el_pad preroll margin the channel skips forward one code period
     (code phase is periodic, so only that single epoch is lost).
-  * v1 kernel scope: 'power' lock mode, no carrier aiding, no code
-    interpolation — enforced at construction.
+The kernel carries the scanned path's full feature set: carrier
+aiding, power/Costas lock modes, and sub-sample code interpolation are
+forwarded as kernel statics (see ops/pallas/track_block_fused.py).
 """
 from __future__ import annotations
 
@@ -53,13 +54,9 @@ class FusedTracker:
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
                  spec: SignalSpec, fs_hz: float, codes_sampled,
                  t_epochs: int, buf_len: int):
-        if cfg.lock_mode != "power":
+        if cfg.lock_mode not in ("power", "costas"):
             raise ValueError(
-                "correlator='fused' supports lock_mode='power' only")
-        if cfg.carrier_aiding or cfg.interp_code:
-            raise ValueError(
-                "correlator='fused' does not support carrier_aiding or "
-                "interp_code")
+                f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
         self.params = params
         self.spec = spec
         self.fs = fs_hz
@@ -76,6 +73,11 @@ class FusedTracker:
                 f"buffer too short for fused tracking: len={buf_len}, "
                 f"need > {t_epochs * self.n0 + self.wp + self.n0}")
         p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
+        # carrier aiding / Costas lock / code interpolation are kernel
+        # statics (parity with the scanned path, receiver/tracking.py)
+        self.aiding_scale = (float(params.aiding_scale)
+                             if cfg.carrier_aiding else 0.0)
+        self.if_freq = float(params.if_freq_hz)
         self._step = functools.partial(
             _fused_block_step,
             t_epochs=t_epochs, n0=self.n0, wp=self.wp,
@@ -84,6 +86,10 @@ class FusedTracker:
             lock_threshold=cfg.lock_threshold,
             max_lost=cfg.max_lost_epochs,
             pll_c1=p1, pll_c2=p2, dll_c1=d1, dll_c2=d2,
+            aiding_scale=self.aiding_scale, if_freq=self.if_freq,
+            lock_mode=cfg.lock_mode,
+            costas_thr=cfg.costas_lock_threshold,
+            interp=cfg.interp_code,
         )
 
     # ------------------------------------------------------------------
@@ -115,16 +121,37 @@ class FusedTracker:
         mat[:, 5] = np.asarray(state.code_err)
         mat[:, 6] = np.asarray(state.lost_count)
         mat[:, 7] = eligible.astype(np.float32)
+        mat[:, 11] = np.asarray(state.lock_ema)
         # replica rounding residual: the kernel's in-block replica
         # select must know how far the block-start replica sits from
-        # the true ledger phase (see kernel state col 10)
-        dc0 = mat[:, 3].astype(np.float64) / self.fs
-        mat[:, 10] = (cp0 - np.floor(cp0 / dc0) * dc0).astype(np.float32)
+        # the true ledger phase (see kernel state col 10). With carrier
+        # aiding the kernel steps chips at the EFFECTIVE rate, so the
+        # anchor must use the same rate — and in the kernel's EXACT f32
+        # arithmetic: an f64 host rate the f32 kernel cannot represent
+        # puts frac0 in a different sample-equivalence class whenever
+        # the ledger sits near a sample boundary, and a mis-anchored
+        # replica at a block seam is a permanent half-chip offset the
+        # DLL re-absorbs into a runaway (observed: prompt collapse
+        # after ~100 epochs with aiding on)
+        rate_eff = mat[:, 3].astype(np.float32)
+        if self.aiding_scale:
+            rate_eff = rate_eff + (
+                mat[:, 0] - np.float32(self.if_freq)
+            ) * np.float32(self.aiding_scale)
+        dc0 = (rate_eff / np.float32(self.fs)).astype(np.float32)
+        # anchor and frac0 from ONE floor — build_replicas consumes the
+        # anchor verbatim, so host and device can never disagree about
+        # which sample class the block-start replica sits in (see
+        # build_replicas docstring for the failure mode)
+        s_anchor = np.floor(cp0.astype(np.float32) / dc0)
+        frac0 = cp0.astype(np.float32) - s_anchor.astype(np.float32) * dc0
+        mat[:, 10] = frac0
 
+        anchor = np.mod(s_anchor, self.n0).astype(np.int32)
         telem_m, mat_out = self._step(
             jnp.asarray(block_re), jnp.asarray(block_im),
             jnp.asarray(np.where(eligible, offset0, 0), jnp.int32),
-            jnp.asarray(cp0, jnp.float32), codes_rows,
+            jnp.asarray(anchor), codes_rows,
             jnp.asarray(mat),
         )
         telem_m = np.asarray(telem_m)
@@ -169,6 +196,7 @@ class FusedTracker:
             chip_int=chip_int.astype(np.int32),
             chip_frac_u32=chip_frac.astype(np.uint32),
             code_err=merge(state.code_err, mat_out[:, 5]),
+            lock_ema=merge(state.lock_ema, mat_out[:, 11]),
         )
 
         # ---- telemetry NamedTuple [T, C] -----------------------------
@@ -210,22 +238,29 @@ class FusedTracker:
     jax.jit,
     static_argnames=("t_epochs", "n0", "wp", "el_pad", "el_shift", "fs",
                      "code_len", "lock_threshold", "max_lost",
-                     "pll_c1", "pll_c2", "dll_c1", "dll_c2"),
+                     "pll_c1", "pll_c2", "dll_c1", "dll_c2",
+                     "aiding_scale", "if_freq", "lock_mode",
+                     "costas_thr", "interp"),
 )
-def _fused_block_step(block_re, block_im, offsets, chip_phase,
+def _fused_block_step(block_re, block_im, offsets, anchor,
                       codes_rows, state_mat, *, t_epochs, n0, wp, el_pad,
                       el_shift, fs, code_len, lock_threshold, max_lost,
-                      pll_c1, pll_c2, dll_c1, dll_c2):
+                      pll_c1, pll_c2, dll_c1, dll_c2,
+                      aiding_scale=0.0, if_freq=0.0, lock_mode="power",
+                      costas_thr=0.4, interp=False):
     wre, wim = fused.slice_windows(block_re, block_im, offsets,
                                    t_epochs, n0, wp, el_pad)
-    cps = state_mat[:, 3] / jnp.float32(fs)
-    reps = fused.build_replicas(codes_rows, chip_phase, cps, el_shift,
-                                n0, wp, n_drift=N_DRIFT)
+    # the sample anchor comes precomputed from the host, floor-
+    # consistent with the frac0 state column (fused_runner.run_block)
+    reps = fused.build_replicas(codes_rows, None, None, el_shift,
+                                n0, wp, n_drift=N_DRIFT, anchor=anchor)
     telem, st = fused.track_block_fused(
         wre, wim, reps, state_mat, n0=n0, fs=fs, code_len=code_len,
         lock_threshold=lock_threshold, max_lost=max_lost,
         pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
         el_shift=el_shift,
+        aiding_scale=aiding_scale, if_freq=if_freq, lock_mode=lock_mode,
+        costas_thr=costas_thr, interp=interp,
         interpret=jax.default_backend() == "cpu",
     )
     # only the first N_TELEM_COLS of the 128-lane telemetry rows carry

@@ -362,14 +362,14 @@ class Receiver:
         if obs is None:
             return
         self._obs_last_ms = self.time_ms
+        dopplers = {}
+        for prn, ch in self.active.items():
+            tr = self.telemetry.traces.get(ch)
+            if tr is not None and tr.carr_freq.size:
+                dopplers[prn] = float(
+                    np.mean(tr.carr_freq[-20:])
+                ) - self.f_if
         if self._obs_writer is not None:
-            dopplers = {}
-            for prn, ch in self.active.items():
-                tr = self.telemetry.traces.get(ch)
-                if tr is not None and tr.carr_freq.size:
-                    dopplers[prn] = float(
-                        np.mean(tr.carr_freq[-20:])
-                    ) - self.f_if
             # LIVE traces only: closed traces of re-acquired PRNs would
             # otherwise shadow the current channel's C/N0
             cn0s = {
@@ -390,9 +390,16 @@ class Receiver:
                 self.nav_filter.predict(
                     (self.time_ms - self._obs_last_update_ms) / 1000.0
                 )
+            # Doppler observables make velocity (and clock drift)
+            # directly observable — pseudorange-only leaves the
+            # weak vertical axis to drift tens of m/s over short spans
+            dop = ([dopplers.get(p, 0.0) for p in obs["prns"]]
+                   if all(p in dopplers for p in obs["prns"]) else None)
             self.nav_filter.update(
                 obs["pseudoranges_m"], obs["ephemerides"],
                 obs["transmit_times_s"],
+                dopplers_hz=dop,
+                carrier_freq_hz=self.spec.carrier_freq_hz,
             )
             self._obs_last_update_ms = self.time_ms
 

@@ -1,6 +1,8 @@
 """SDR device layer tests (reference: sdr_wrapper trait + MockDevice +
 rtl_sdr JSON config, src/sdr_store/ + src/sdr_mock/)."""
 import json
+import sys
+import types
 
 import numpy as np
 import pytest
@@ -60,6 +62,126 @@ class TestMockDevice:
     def test_soapy_unavailable_raises_helpfully(self):
         with pytest.raises(RuntimeError, match="SoapySDR"):
             open_device("rtlsdr")
+
+    def test_soapy_glue_with_fake_module(self, monkeypatch):
+        """Exercise the SoapyDevice configure/stream/read paths with a
+        fake ``SoapySDR`` module injected into sys.modules — the
+        reference's MockDevice pattern one layer down
+        (src/sdr_mock/device_mock.rs:7-69 substitutes the SoapySDR
+        device behind the same trait)."""
+        calls = []
+
+        class _FakeStreamResult:
+            def __init__(self, ret):
+                self.ret = ret
+
+        class _FakeSoapyDev:
+            def __init__(self, args):
+                calls.append(("ctor", dict(args)))
+                self._rng = np.random.default_rng(7)
+
+            def __str__(self):
+                return "FakeRTL v1"
+
+            def setFrequency(self, direction, chan, hz):
+                calls.append(("freq", hz))
+
+            def setSampleRate(self, direction, chan, hz):
+                calls.append(("rate", hz))
+
+            def setGain(self, direction, chan, db):
+                calls.append(("gain", db))
+
+            def setupStream(self, direction, fmt):
+                calls.append(("setup", fmt))
+                return "stream-handle"
+
+            def activateStream(self, stream):
+                calls.append(("activate", stream))
+
+            def readStream(self, stream, bufs, n, timeoutUs=0):
+                bufs[0][:n] = (self._rng.standard_normal(n)
+                               + 1j * self._rng.standard_normal(n)
+                               ).astype(np.complex64)
+                return _FakeStreamResult(n)
+
+        fake = types.ModuleType("SoapySDR")
+        fake.SOAPY_SDR_RX = 1
+        fake.SOAPY_SDR_CF32 = "CF32"
+        fake.Device = _FakeSoapyDev
+        monkeypatch.setitem(sys.modules, "SoapySDR", fake)
+
+        dev = open_device("rtlsdr", args="serial=0001,tuner=R820T")
+        assert dev.info.driver == "rtlsdr"
+        assert dev.info.label == "FakeRTL v1"
+        assert ("ctor", {"driver": "rtlsdr", "serial": "0001",
+                         "tuner": "R820T"}) in calls
+
+        # the reference's JSON config keys flow through to the device
+        dev.configure(json.dumps({
+            "center_freq_hz": 1_575_420_000.0,
+            "sample_rate_hz": 2_048_000.0,
+            "gain_db": 30.0,
+        }))
+        dev.activate_stream()
+        assert ("freq", 1_575_420_000.0) in calls
+        assert ("rate", 2_048_000.0) in calls
+        assert ("gain", 30.0) in calls
+        assert ("setup", "CF32") in calls
+        assert ("activate", "stream-handle") in calls
+
+        out = dev.read(4096)
+        assert out.shape == (4096,) and out.dtype == np.complex64
+
+    def test_soapy_short_read_and_eos(self, monkeypatch):
+        """readStream returning fewer samples (or an error code) maps to
+        a short array / None exactly like the file sources."""
+        class _Res:
+            def __init__(self, ret):
+                self.ret = ret
+
+        class _Dev:
+            def __init__(self, args):
+                self.reads = 0
+
+            def __str__(self):
+                return "short"
+
+            def setFrequency(self, *a):
+                pass
+
+            def setSampleRate(self, *a):
+                pass
+
+            def setGain(self, *a):
+                pass
+
+            def setupStream(self, *a):
+                return 0
+
+            def activateStream(self, s):
+                pass
+
+            def readStream(self, stream, bufs, n, timeoutUs=0):
+                self.reads += 1
+                if self.reads == 1:
+                    bufs[0][: n // 2] = 1.0 + 0j
+                    return _Res(n // 2)
+                return _Res(-1)   # SOAPY_SDR_TIMEOUT-style error
+
+        fake = types.ModuleType("SoapySDR")
+        fake.SOAPY_SDR_RX = 1
+        fake.SOAPY_SDR_CF32 = "CF32"
+        fake.Device = _Dev
+        monkeypatch.setitem(sys.modules, "SoapySDR", fake)
+
+        dev = open_device("hackrf")
+        dev.set_center_frequency(1.57542e9)
+        dev.set_sample_rate(2.048e6)
+        dev.activate_stream()
+        first = dev.read(1000)
+        assert first.shape == (500,)
+        assert dev.read(1000) is None
 
     def test_device_feeds_receiver(self):
         """MockDevice as a Receiver source (the reference's hardware-mock

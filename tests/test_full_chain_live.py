@@ -33,8 +33,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def live_fix():
+def _build_live_scene():
     # t_ref just past x.5 s so every satellite's t_tx0 shares the same
     # integer SV second S, one second before a 6 s subframe boundary
     sats, t_ref = build_scene()
@@ -89,22 +88,49 @@ def live_fix():
     # scene long enough to decode subframes 1-3 after the dummy: filler
     # (1 s) + 4 subframes (24 s) + margin
     total_s = (boundary - s0) + 24.0 + 2.0
+    return scenarios, sats, total_s
+
+
+def _run_live(correlator, rinex_path=None, **track_kw):
+    scenarios, sats, total_s = _build_live_scene()
     source = SyntheticSource(scenarios, FS, noise_std=1.0, seed=23,
                              total_samples=int(total_s * FS))
     cfg = ReceiverConfig(
         rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS),
         acq=AcqConfig(),
-        track=TrackConfig(n_channels=8, carrier_aiding=True),
+        track=TrackConfig(n_channels=8, carrier_aiding=True,
+                          correlator=correlator, **track_kw),
         block_ms=100,
     )
     rx = Receiver(cfg, source)
+    if rinex_path is not None:
+        # observables stream DURING the run (ladder 5 'streaming rate')
+        rx.enable_observables(rinex_path=str(rinex_path), every_ms=100,
+                              week=2290, ekf=True)
     rx.run()
     return rx, sats
 
 
+@pytest.fixture(scope="module")
+def live_fix(tmp_path_factory):
+    p = tmp_path_factory.mktemp("live") / "live_obs.rnx"
+    rx, sats = _run_live("exact", rinex_path=p)
+    if rx._obs_writer is not None:
+        rx._obs_writer.close()
+    return rx, sats, p
+
+
+@pytest.fixture(scope="module")
+def live_fix_fused():
+    """The SAME full chain on the fused pallas kernel path with its
+    complete feature set (VERDICT r1 item 4: the fast path must run the
+    flagship scenario — carrier aiding included)."""
+    return _run_live("fused", interp_code=True)
+
+
 class TestFullChainLive:
     def test_live_ephemeris_decoded(self, live_fix):
-        rx, sats = live_fix
+        rx, sats, _ = live_fix
         truth_prns = {s["prn"] for s in sats}
         assert set(rx.active) == truth_prns
         decoded = set(rx.nav.ephemerides)
@@ -119,7 +145,7 @@ class TestFullChainLive:
             assert eph.t_oe == truth.t_oe
 
     def test_live_pvt_fix(self, live_fix):
-        rx, _ = live_fix
+        rx, _, _ = live_fix
         sol = rx.compute_pvt()
         assert sol is not None, f"no fix; nav={rx.summary()['nav']}"
         err = np.linalg.norm(sol.position_ecef_m - RX_TRUE)
@@ -130,7 +156,7 @@ class TestFullChainLive:
         assert sol.gdop < 20.0
 
     def test_live_velocity(self, live_fix):
-        rx, _ = live_fix
+        rx, _, _ = live_fix
         sol = rx.compute_pvt()
         vel = rx.compute_velocity(sol.position_ecef_m)
         assert vel is not None
@@ -138,11 +164,28 @@ class TestFullChainLive:
         assert np.linalg.norm(v) < 5.0
 
 
+class TestFullChainLiveFused:
+    """The identical RF->fix chain on the fused pallas kernel with
+    carrier aiding + code interpolation (the flagship TrackConfig)."""
+
+    def test_fused_live_ephemeris_and_fix(self, live_fix_fused):
+        rx, sats = live_fix_fused
+        truth_prns = {s["prn"] for s in sats}
+        assert set(rx.active) == truth_prns
+        assert len(rx.nav.ephemerides) >= 4, (
+            f"nav={rx.summary()['nav']}"
+        )
+        sol = rx.compute_pvt()
+        assert sol is not None, f"no fix; nav={rx.summary()['nav']}"
+        err = np.linalg.norm(sol.position_ecef_m - RX_TRUE)
+        assert err < 100.0, f"fused live-fix position error {err:.1f} m"
+
+
 class TestHatchSmoothing:
     def test_window_one_equals_raw(self, live_fix):
         """smooth_epochs=1 must reproduce the raw chip-exact solution
         (carrier propagation over zero epochs is the identity)."""
-        rx, _ = live_fix
+        rx, _, _ = live_fix
         raw = rx.compute_pvt(smooth_epochs=0)
         s1 = rx.compute_pvt(smooth_epochs=1)
         np.testing.assert_allclose(
@@ -150,34 +193,43 @@ class TestHatchSmoothing:
         )
 
     def test_smoothed_solution_exists(self, live_fix):
-        rx, _ = live_fix
+        rx, _, _ = live_fix
         sol = rx.compute_pvt(smooth_epochs=400)
         assert sol is not None
         assert np.linalg.norm(sol.position_ecef_m - RX_TRUE) < 200.0
 
 
 class TestStreamingOutputs:
-    def test_rinex_obs_and_ekf_stream(self, tmp_path):
-        """Observables stream to a RINEX OBS file and through the EKF
-        while the receiver runs (ladder 5 'at streaming rate')."""
-        import tests.test_full_chain_live as me
+    """Observables streamed DURING the live run (no post-hoc re-emit):
+    the RINEX OBS file and the EKF accumulate an epoch every 100 ms
+    from the moment >= 4 ephemerides are decoded (ladder 5 'at
+    streaming rate')."""
+
+    def test_rinex_obs_streamed_epochs(self, live_fix):
         from gnss_sdr_tpu.nav import parse_obs_file
 
-        # short rerun of the live fixture machinery with streaming on
-        rx, sats = live_fix.__wrapped__()
-        # the completed receiver has all state; re-emit via the API on a
-        # fresh short run is expensive — instead emit from final state
-        p = tmp_path / "live_obs.rnx"
-        rx.enable_observables(rinex_path=str(p), every_ms=100, week=2290,
-                              ekf=True)
-        rx._obs_last_ms = -1e9
-        rx._emit_observables()
-        rx._obs_writer.close()
-        header, epochs = parse_obs_file(str(p))
-        assert len(epochs) == 1
-        assert len(epochs[0]["sats"]) >= 4
-        # all pseudoranges in the physical GPS range bracket
-        for prn, vals in epochs[0]["sats"].items():
-            assert 1.8e7 < vals[0] < 2.8e7
-        assert rx.nav_filter is not None and rx.nav_filter.epochs == 1
-        assert np.linalg.norm(rx.nav_filter.position - RX_TRUE) < 200.0
+        rx, _, obs_path = live_fix
+        header, epochs = parse_obs_file(str(obs_path))
+        # ephemerides complete ~2 s before the scene ends -> dozens of
+        # 100 ms epochs must have streamed out
+        assert len(epochs) >= 10, f"only {len(epochs)} streamed epochs"
+        for ep in epochs:
+            assert len(ep["sats"]) >= 4
+            for prn, vals in ep["sats"].items():
+                # physical GPS pseudorange bracket
+                assert 1.8e7 < vals[0] < 2.8e7
+
+    def test_ekf_multi_epoch_convergence(self, live_fix):
+        """The EKF must have ingested a multi-epoch trajectory and
+        converged: final position near truth, covariance contracted
+        from its prior."""
+        rx, _, _ = live_fix
+        ekf = rx.nav_filter
+        assert ekf is not None and ekf.epochs >= 10
+        assert np.linalg.norm(ekf.position - RX_TRUE) < 60.0
+        # position covariance must have contracted well below the
+        # 100 m-sigma prior (filter.py _initialize)
+        pos_var = np.diag(ekf.p)[:3]
+        assert np.all(pos_var < 0.25 * 100.0**2), pos_var
+        # static scene: velocity estimate near zero
+        assert np.linalg.norm(ekf.velocity) < 5.0

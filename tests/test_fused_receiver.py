@@ -86,11 +86,69 @@ class TestFusedReceiver:
         rx.run(max_blocks=15)
         assert rx.active == {}  # nothing (or nothing left) tracked
 
-    def test_rejects_unsupported_modes(self):
-        with pytest.raises(ValueError, match="carrier_aiding"):
-            _run("fused", blocks=1, carrier_aiding=True)
+    def test_rejects_unknown_lock_mode(self):
         with pytest.raises(ValueError, match="lock_mode"):
             _run("fused", blocks=1, lock_mode="costas_ema")
+
+    def test_full_feature_modes_track(self):
+        """Carrier aiding + Costas-EMA lock + code interpolation in the
+        fused kernel (the flagship scenario's exact TrackConfig —
+        VERDICT r1 item 4): same satellites tracked, Doppler converges
+        to truth."""
+        rx, out = _run("fused", blocks=25, carrier_aiding=True,
+                       interp_code=True, lock_mode="costas")
+        assert out["tracked_prns"] == [5, 12]
+        for ch in out["channels"]:
+            truth = {5: 3210.0, 12: -1500.0}[ch["prn"]]
+            assert ch["last_doppler_hz"] == pytest.approx(truth, abs=5.0)
+
+    def test_aiding_matches_scanned_path_closely(self):
+        """On a physically consistent scene (code Doppler coupled to
+        carrier), the fused path's carrier-aided tracking must land on
+        the same Doppler as the scanned XLA path (re-anchored f32 vs
+        exact-u32 parity)."""
+        scen = [s.with_code_doppler() for s in SCEN]
+        rx_f, out_f = _run("fused", blocks=20, scen=scen,
+                           carrier_aiding=True)
+        rx_s, out_s = _run("exact", blocks=20, scen=scen,
+                           carrier_aiding=True)
+
+        def mean_tail(rx):
+            return {
+                tr.prn: float(np.mean(np.array(tr.carr_freq)[-100:]))
+                for tr in rx.telemetry.traces.values()
+            }
+        dop_f, dop_s = mean_tail(rx_f), mean_tail(rx_s)
+        assert set(dop_f) == set(dop_s) == {5, 12}
+        for prn in dop_f:
+            assert dop_f[prn] == pytest.approx(dop_s[prn], abs=3.0)
+
+    def test_period_wrap_replica_bounds(self):
+        """Regression for the sampled-code-table clamp: a chip ledger
+        anchored in the last samples of the code period must still get
+        a correctly anchored replica (a short table made dynamic_slice
+        clamp silently — a whole-block power collapse whenever the
+        ledger crossed the period wrap)."""
+        import jax.numpy as jnp
+        from gnss_sdr_tpu.ops.pallas import track_block_fused as fused
+        from gnss_sdr_tpu.receiver import tracking as trk
+        n0 = GPS_L1CA.samples_per_code(FS)
+        cfg = TrackConfig(n_channels=1, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
+                                            window=params.window)
+        wp = ((params.window + 63 + 127) // 128) * 128
+        row = np.asarray(codes[11])
+        half, el_pad = 2, params.el_shift + 2
+        for anchor in (0, n0 // 2, n0 - 2, n0 - 1):
+            reps = np.asarray(fused.build_replicas(
+                codes[None, 11], None, None, params.el_shift, n0, wp,
+                n_drift=5, anchor=jnp.asarray([anchor], jnp.int32)))[0]
+            for d in range(5):
+                idx = anchor + n0 - el_pad - (d - half) + np.arange(wp)
+                assert idx.max() < len(row), (anchor, d)
+                np.testing.assert_array_equal(reps[d], row[idx],
+                                              err_msg=f"{anchor}/{d}")
 
     def test_long_run_power_and_bits(self):
         """Regression for the replica re-anchor runaway: with a per-
