@@ -69,6 +69,14 @@ class AcqConfig:
     # sensitivity; keep residual doppler << 1/(coherent_ms) and below
     # the data-bit period)
     coherent_ms: int = 1
+    # data-bit-edge group-start hypotheses for coherent integration
+    # (max-combined power cubes; see ops.pcps.pcps_power). 1 = off;
+    # set to coherent_ms/code_period_ms to try every offset.
+    bit_edge_hypotheses: int = 1
+    # rescale detection_threshold to the coherent/hypothesis mode's
+    # noise floor (pcps.peak_avg_threshold); the raw reference 7.0 is
+    # only calibrated for 10 x 1 ms non-coherent integration
+    threshold_auto_scale: bool = True
     # detector: "peak_avg" = peak/avg > detection_threshold (reference
     # do_acquisition.rs:229-238); "two_peak" = first/second peak ratio
     # with +/-1 chip exclusion (legacy acquisition_bk.rs:342-399);

@@ -71,6 +71,7 @@ def pcps_power(
     fs_hz: float,
     n_int: int,
     coherent: int = 1,         # code periods summed coherently per group
+    bit_edge_hypotheses: int = 1,  # group-start offsets tried (max-combined)
     sample_offset=0,           # traced/int: global index of samples[0],
                                # so time-sharded chunks keep exact phase
 ) -> jax.Array:
@@ -84,6 +85,15 @@ def pcps_power(
     Caveats: residual Doppler must stay well under 1/(k * T_code) —
     narrow the Doppler grid step accordingly — and data-bit edges
     inside a group cancel (choose k <= bit period / code period).
+
+    ``bit_edge_hypotheses=H > 1`` defends the coherent sum against
+    unknown data-bit edges: the k-period grouping is re-anchored at H
+    start offsets spread over one coherent length, each hypothesis
+    integrates the same number of groups, and the cubes combine with an
+    elementwise max — whichever offset puts the bit flip at a group
+    boundary keeps full coherent gain. The per-period FFT correlations
+    are shared across hypotheses, so the extra cost is only the group
+    combine + IFFT stage (H x). Use H=k to try every offset.
 
     Phase continuity across periods is free: the Doppler mix rides one
     exact uint32 NCO ramp over the whole chunk.
@@ -107,14 +117,7 @@ def pcps_power(
     spectra = jnp.fft.fft(shifted, axis=-1)                 # [D, n_int, N]
 
     conj_codes = jnp.conj(code_ffts)                        # [P, N]
-    n_groups = n_int // coherent
     d = spectra.shape[0]
-    # FFT linearity: sum_j ifft(X_j * C*) == ifft((sum_j X_j) * C*), so
-    # the coherent combine is one [D, N] spectrum sum per group instead
-    # of k multiplies + k IFFTs of the [P, D, N] cube
-    grouped = jnp.moveaxis(
-        spectra.reshape(d, n_groups, coherent, n_fft).sum(axis=2), 1, 0
-    )                                                       # [G, D, N]
 
     def accumulate(acc, spec_sum):
         prod = spec_sum[None, :, :] * conj_codes[:, None, :]  # [P, D, N]
@@ -122,8 +125,113 @@ def pcps_power(
         return acc + jnp.abs(corr) ** 2, None
 
     power0 = jnp.zeros((n_prn, d, n_fft), jnp.float32)
-    power, _ = jax.lax.scan(accumulate, power0, grouped)    # [P, D, N]
-    return power
+
+    if bit_edge_hypotheses <= 1 or coherent <= 1:
+        n_groups = n_int // coherent
+        # FFT linearity: sum_j ifft(X_j * C*) == ifft((sum_j X_j) * C*),
+        # so the coherent combine is one [D, N] spectrum sum per group
+        # instead of k multiplies + k IFFTs of the [P, D, N] cube
+        grouped = jnp.moveaxis(
+            spectra.reshape(d, n_groups, coherent, n_fft).sum(axis=2), 1, 0
+        )                                                   # [G, D, N]
+        power, _ = jax.lax.scan(accumulate, power0, grouped)
+        return power                                        # [P, D, N]
+
+    # bit-edge hypothesis search: re-anchor the k-period groups at H
+    # offsets; every hypothesis integrates the same g_min groups so the
+    # cubes are scale-identical and combine with an elementwise max
+    k = coherent
+    h_n = min(bit_edge_hypotheses, k)
+    offsets = sorted({(j * k) // h_n for j in range(h_n)})
+    g_min = min((n_int - h) // k for h in offsets)
+    if g_min < 1:
+        raise ValueError(
+            f"n_int={n_int} too short for coherent={k} with "
+            f"bit-edge offsets up to {offsets[-1]}"
+        )
+
+    def hypothesis_cube(h: int) -> jax.Array:
+        grouped = jnp.moveaxis(
+            spectra[:, h:h + g_min * k].reshape(
+                d, g_min, k, n_fft
+            ).sum(axis=2),
+            1, 0,
+        )                                                   # [G, D, N]
+        power, _ = jax.lax.scan(accumulate, power0, grouped)
+        return power
+
+    best = hypothesis_cube(offsets[0])
+    for h in offsets[1:]:
+        best = jnp.maximum(best, hypothesis_cube(h))
+    return best
+
+
+def coherent_group_count(n_int: int, coherent: int,
+                         bit_edge_hypotheses: int = 1) -> int:
+    """Number of non-coherent groups the power cube integrates —
+    n_int/coherent for the plain path, the per-hypothesis g_min for the
+    bit-edge path (must mirror pcps_power's grouping exactly)."""
+    if bit_edge_hypotheses <= 1 or coherent <= 1:
+        return max(1, n_int // max(1, coherent))
+    k = coherent
+    h_n = min(bit_edge_hypotheses, k)
+    offsets = sorted({(j * k) // h_n for j in range(h_n)})
+    return min((n_int - h) // k for h in offsets)
+
+
+def _gamma_sf(n: int, x: float) -> float:
+    """Survival function Q(n, x) of Gamma(n, 1) for integer n:
+    e^{-x} * sum_{i<n} x^i / i!, evaluated in log space."""
+    if x <= 0.0:
+        return 1.0
+    import math
+
+    terms = [-x + i * math.log(x) - math.lgamma(i + 1) for i in range(n)]
+    m = max(terms)
+    return math.exp(m) * sum(math.exp(t - m) for t in terms)
+
+
+def _max_ratio_median(n_groups: int, n_cells: float) -> float:
+    """Median of the peak/avg statistic of a noise-only power cube:
+    cells are iid Gamma(n_groups) (sum of n_groups |CN(0,1)|^2 group
+    powers), the cube mean concentrates at n_groups, and the max of
+    n_cells draws has median r where n_cells * Q(n_groups, n_groups*r)
+    = ln 2. Solved by bisection."""
+    import math
+
+    target = math.log(2.0) / max(n_cells, 1.0)
+    lo, hi = 1.0, 400.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if _gamma_sf(n_groups, n_groups * mid) > target:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def peak_avg_threshold(
+    t_ref: float,
+    *,
+    n_groups: int,
+    n_cells: float,
+    hypotheses: int = 1,
+    ref_groups: int = 10,
+    ref_cells: float = 29.0 * 2046.0,
+) -> float:
+    """Scale the reference peak/avg threshold to an arbitrary
+    integration mode.
+
+    The reference's 7.0 is calibrated for 10 x 1 ms non-coherent
+    integration (do_acquisition.rs:237,23). Fewer non-coherent groups
+    (coherent integration) make the noise-only peak/avg floor rise
+    (heavier-tailed Gamma cells), so a fixed 7.0 false-alarms — the
+    scaled threshold preserves the *margin over the noise floor
+    median* instead: t_ref / floor(ref mode) = t_eff / floor(actual
+    mode). Bit-edge hypotheses multiply the effective cell count
+    (max-combine of H cubes)."""
+    margin = t_ref / _max_ratio_median(ref_groups, ref_cells)
+    return margin * _max_ratio_median(n_groups, n_cells * max(1, hypotheses))
 
 
 def _next_pow2(n: int) -> int:
@@ -693,6 +801,7 @@ def detect(
     static_argnames=(
         "fs_hz", "n_int", "threshold", "return_power", "mode",
         "exclusion_samples", "pad_fft", "n_fft", "coherent",
+        "bit_edge_hypotheses",
     ),
 )
 def pcps_search(
@@ -710,13 +819,16 @@ def pcps_search(
     pad_fft: bool = False,
     n_fft: int | None = None,
     coherent: int = 1,
+    bit_edge_hypotheses: int = 1,
 ) -> AcqResults:
     """Search all PRNs over all Doppler bins in one shot.
 
     ``pad_fft=True`` uses the power-of-two linear-correlation path
     (pcps_power_padded): pass ``code_ffts`` from
     ``code_replica_ffts_padded`` and supply ``n_fft`` (one code period
-    in samples)."""
+    in samples). ``bit_edge_hypotheses`` (circular path only) guards
+    ``coherent`` grouping against data-bit sign flips — see
+    pcps_power."""
     if pad_fft:
         if n_fft is None:
             raise ValueError("pad_fft path requires n_fft")
@@ -737,7 +849,7 @@ def pcps_search(
             )
         power = pcps_power(
             samples, code_ffts, carrier_freqs, fs_hz=fs_hz, n_int=n_int,
-            coherent=coherent,
+            coherent=coherent, bit_edge_hypotheses=bit_edge_hypotheses,
         )
     return detect(
         power, carrier_freqs, threshold, return_power,

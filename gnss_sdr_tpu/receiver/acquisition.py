@@ -34,7 +34,7 @@ _search_fft = jax.jit(
     pcps.pcps_search,
     static_argnames=("fs_hz", "n_int", "threshold", "mode",
                      "exclusion_samples", "pad_fft", "n_fft",
-                     "coherent"),
+                     "coherent", "bit_edge_hypotheses"),
 )
 _fine_fft = jax.jit(
     pcps.fine_doppler,
@@ -295,6 +295,22 @@ class AcquisitionEngine:
             threshold, excl = cfg.cfar_scale, 0
         else:
             threshold, excl = cfg.detection_threshold, 0
+            k = max(1, cfg.coherent_ms // self.spec.code_period_ms)
+            if cfg.threshold_auto_scale and (
+                k > 1 or cfg.bit_edge_hypotheses > 1
+            ):
+                # coherent grouping / hypothesis max-combine change the
+                # noise-only peak/avg floor; rescale the user threshold
+                # to keep the same margin over it (see
+                # pcps.peak_avg_threshold)
+                threshold = pcps.peak_avg_threshold(
+                    threshold,
+                    n_groups=pcps.coherent_group_count(
+                        n_int, k, cfg.bit_edge_hypotheses
+                    ),
+                    n_cells=float(len(grid)) * self.n_fft,
+                    hypotheses=cfg.bit_edge_hypotheses,
+                )
         if self.engine == "conv":
             return self._search_conv_grid(
                 samples, grid, window_offset, allowed_prns,
@@ -317,6 +333,7 @@ class AcquisitionEngine:
                 n_fft=self.n_fft if cfg.pad_fft else None,
                 coherent=max(1, cfg.coherent_ms
                              // self.spec.code_period_ms),
+                bit_edge_hypotheses=cfg.bit_edge_hypotheses,
             )
         detected = np.asarray(res.detected)
         if not detected.any():

@@ -451,3 +451,76 @@ class TestConvEngineReceiver:
             codes, cp, coarse, fs_hz=fs, n_int=10)[0])
         assert abs(f_conv - true_dop) < 15.0
         assert abs(f_conv - f_fft) < 15.0
+
+
+class TestWeakSignalBitEdgeGate:
+    """Weak-signal sensitivity gate (VERDICT round-1 item 6).
+
+    A ~31 dB-Hz satellite (the regime of the reference capture's hard
+    PRNs 9/28, config.txt note [2]: "5-9 ms integration" needed) with
+    live data-bit modulation:
+
+      * plain 40 ms non-coherent integration MISSES (peak/avg < 7);
+      * 20 ms coherent integration DETECTS but reports a carrier
+        frequency biased by the data-bit sideband when a bit edge
+        splits the coherent window — a poisoned tracking handoff;
+      * coherent + bit-edge hypotheses detects at the TRUE carrier and
+        code phase with the largest margin.
+
+    Bit edges land at the exact centers of the default group windows
+    (the adversarial alignment), and the scene uses physical code
+    Doppler. This documents the sensitivity floor: ~31 dB-Hz at
+    20 ms coherent / 40 ms total with a 25 Hz grid.
+    """
+
+    def test_bit_edge_hypotheses_recover_weak_satellite(self):
+        import jax.numpy as jnp
+
+        fs = 2_046_000.0
+        n0 = GPS_L1CA.samples_per_code(fs)
+        n_int = 40
+        # 25 Hz step: residual Doppler stays << 1/(20 ms coherent)
+        grid = jnp.asarray(
+            np.arange(-1000.0, 1001.0, 25.0).astype(np.float32))
+        code_ffts = pcps.code_replica_ffts(GPS_L1CA, fs, 32)
+
+        # C/N0 = A^2 * fs / noise_std^2 = 0.025^2 * 2.046e6 ~= 31.1 dB-Hz.
+        # code_phase 10*1023 chips puts bit edges at ms 10 and 30 — dead
+        # center of the default coherent groups [0,20) and [20,40)
+        sat = SatelliteScenario(
+            prn=7, doppler_hz=250.0, code_phase_chips=10 * 1023.0,
+            nav_bits=np.array([1.0, -1.0]), amplitude=0.025,
+        ).with_code_doppler()
+        x = jnp.asarray(
+            synthesize([sat], n_int * n0, fs, noise_std=1.0, seed=3))
+
+        noncoh = pcps.pcps_search(
+            x, code_ffts, grid, fs_hz=fs, n_int=n_int)
+        coh = pcps.pcps_search(
+            x, code_ffts, grid, fs_hz=fs, n_int=n_int, coherent=20)
+        hyp = pcps.pcps_search(
+            x, code_ffts, grid, fs_hz=fs, n_int=n_int, coherent=20,
+            bit_edge_hypotheses=4)
+
+        i = 6  # PRN 7
+        # 1. non-coherent integration cannot see it at the reference
+        #    threshold
+        assert float(noncoh.ratio[i]) < 7.0
+        # 2. plain coherent detects — at a data-sideband frequency, NOT
+        #    the true carrier (biased handoff)
+        assert float(coh.ratio[i]) > 7.0
+        assert abs(float(coh.carrier_freq_hz[i]) - 250.0) >= 25.0
+        # 3. hypotheses: detected at the true carrier and code phase,
+        #    with more margin than the edge-split coherent sum
+        assert float(hyp.ratio[i]) > 7.0
+        assert float(hyp.carrier_freq_hz[i]) == pytest.approx(250.0)
+        assert int(hyp.code_phase_samples[i]) == 0
+        assert float(hyp.ratio[i]) > float(coh.ratio[i])
+        # the peak/avg statistic of a single 20 ms coherent sum has a
+        # higher noise floor than 10x-non-coherent (threshold 7 is
+        # calibrated for the latter, do_acquisition.rs:237,23): the
+        # operational gate is separation — the true satellite must
+        # stand clear above every noise-only PRN's statistic
+        ratios = np.asarray(hyp.ratio)
+        noise_floor = float(ratios[np.arange(32) != i].max())
+        assert float(ratios[i]) > 1.5 * noise_floor
