@@ -200,7 +200,11 @@ def _run_receiver(args, jax):
     fs = args.fs
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     correlator = "fused" if on_tpu else "slice"
-    warm_blocks = 4
+    # warm-up must cover BOTH acquire_conv bucket shapes: the full
+    # 32-row search (first block) and the 8-row steady re-search that
+    # first fires at the second paced search (~block 8 at 2 s pacing) —
+    # otherwise its one-time compile lands inside the timed region
+    warm_blocks = 9
     total_s = args.blocks * args.block_ms / 1000.0
     gen_s = total_s + (warm_blocks + 1) * args.block_ms / 1000.0
     sats = [
@@ -292,6 +296,11 @@ def _run(args):
         amortized_acq = t_acq * (signal_s / 2.0)
         wall = t_track + amortized_acq
         rtf = signal_s / wall
+        # cold start: full-constellation search every 500 ms
+        # (reference cold pacing, do_acquisition.rs:58-73); TTFF wall
+        # clock = the ~32 s of signal a cold LNAV fix needs (bit sync +
+        # frame sync + subframes 1-3) divided by the cold-mode rate
+        rtf_cold = signal_s / (t_track + t_acq * (signal_s / 0.5))
         print(json.dumps({
             "metric": (
                 f"real-time factor, {args.channels}-ch GPS L1 C/A "
@@ -304,6 +313,8 @@ def _run(args):
                 "engine": "fused-pallas + conv-acquisition",
                 "track_s_per_signal_s": round(t_track / signal_s, 5),
                 "acq_full_search_s": round(t_acq, 4),
+                "rtf_cold_500ms_pacing": round(rtf_cold, 2),
+                "ttff_wall_s_file_replay": round(32.0 / rtf_cold, 3),
                 "iq_samples_per_s": round(rtf * args.fs * args.channels),
                 "device": str(jax.devices()[0]),
             },

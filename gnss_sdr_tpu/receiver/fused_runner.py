@@ -148,14 +148,17 @@ class FusedTracker:
         mat[:, 10] = frac0
 
         anchor = np.mod(s_anchor, self.n0).astype(np.int32)
-        telem_m, mat_out = self._step(
+        # offsets/anchor ride spare state columns (12/13) so the whole
+        # per-block host->device side is ONE array upload, and the two
+        # result downloads batch into ONE device_get round trip — each
+        # separate transfer costs a full sync quantum on a remote
+        # device transport (~30 ms on the tunneled session backend)
+        mat[:, 12] = np.where(eligible, offset0, 0).astype(np.float32)
+        mat[:, 13] = anchor.astype(np.float32)
+        telem_m, mat_out = jax.device_get(self._step(
             jnp.asarray(block_re), jnp.asarray(block_im),
-            jnp.asarray(np.where(eligible, offset0, 0), jnp.int32),
-            jnp.asarray(anchor), codes_rows,
-            jnp.asarray(mat),
-        )
-        telem_m = np.asarray(telem_m)
-        mat_out = np.asarray(mat_out)
+            codes_rows, jnp.asarray(mat),
+        ))
 
         # ---- absorb kernel state back into the exact ledger ----------
         el = eligible
@@ -242,12 +245,16 @@ class FusedTracker:
                      "aiding_scale", "if_freq", "lock_mode",
                      "costas_thr", "interp"),
 )
-def _fused_block_step(block_re, block_im, offsets, anchor,
+def _fused_block_step(block_re, block_im,
                       codes_rows, state_mat, *, t_epochs, n0, wp, el_pad,
                       el_shift, fs, code_len, lock_threshold, max_lost,
                       pll_c1, pll_c2, dll_c1, dll_c2,
                       aiding_scale=0.0, if_freq=0.0, lock_mode="power",
                       costas_thr=0.4, interp=False):
+    # offsets/anchor arrive in spare state columns 12/13 (exact in f32:
+    # both < 2^24) — one upload instead of three per block
+    offsets = state_mat[:, 12].astype(jnp.int32)
+    anchor = state_mat[:, 13].astype(jnp.int32)
     wre, wim = fused.slice_windows(block_re, block_im, offsets,
                                    t_epochs, n0, wp, el_pad)
     # the sample anchor comes precomputed from the host, floor-

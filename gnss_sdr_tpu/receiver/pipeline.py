@@ -309,9 +309,11 @@ class Receiver:
                     self.epochs_per_block + 1,
                     valid_len=np.int32(self.history + n_valid),
                 )
-            # sync here so stage timings attribute device compute to
-            # 'track', not to the first np.asarray in the nav stage
-            jax.block_until_ready(telem)
+            # one batched device_get: every downstream consumer
+            # (telemetry log, nav processor, lifecycle) is numpy, and
+            # fetching the leaves one np.asarray at a time would pay a
+            # full sync round trip each on a remote device transport
+            telem = jax.device_get(telem)
 
         with self.timers.stage("nav", self.block):
             self.telemetry.append_block(telem, self.window.global_start)
