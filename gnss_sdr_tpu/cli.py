@@ -91,6 +91,15 @@ def main(argv=None) -> int:
                     help="run the EKF navigation filter on observables")
     ap.add_argument("--json", action="store_true",
                     help="print the summary as JSON")
+    ap.add_argument("--live", action="store_true",
+                    help="live terminal status table while running "
+                         "(the reference's NavigationView, view.rs:37)")
+    ap.add_argument("--live-png", metavar="PNG",
+                    help="re-render the dashboard PNG live (atomic "
+                         "replace; watch it with any image viewer)")
+    ap.add_argument("--live-fps", type=float, default=6.0,
+                    help="max live refresh rate (default 6, the "
+                         "reference's frame pacing)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -128,9 +137,18 @@ def main(argv=None) -> int:
             )
         except OSError as e:
             raise SystemExit(f"cannot open --rinex-obs target: {e}")
+    view = None
+    if args.live or args.live_png:
+        from .utils.live import LiveView
+
+        view = LiveView(rx, png_path=args.live_png,
+                        interval_s=1.0 / max(args.live_fps, 1e-3),
+                        terminal=args.live, stream=sys.stderr)
     t0 = time.time()
-    out = rx.run(max_blocks=args.blocks)
+    out = rx.run(max_blocks=args.blocks, on_block=view)
     wall = time.time() - t0
+    if view is not None:
+        view.refresh(force=True)   # final frame reflects the end state
     out["wall_s"] = round(wall, 3)
     out["realtime_factor"] = round(out["time_ms"] / 1000.0 / wall, 2)
 

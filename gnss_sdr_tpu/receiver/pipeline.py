@@ -405,10 +405,15 @@ class Receiver:
             )
             self._obs_last_update_ms = self.time_ms
 
-    def run(self, max_blocks: Optional[int] = None) -> dict:
+    def run(self, max_blocks: Optional[int] = None,
+            on_block=None) -> dict:
+        """Drive the stream; ``on_block(receiver)`` fires after every
+        processed block (live views, progress hooks — utils/live.py)."""
         blocks = 0
         while (max_blocks is None or blocks < max_blocks) and self.step():
             blocks += 1
+            if on_block is not None:
+                on_block(self)
         return self.summary()
 
     def compute_pvt(self, smooth_epochs: int = 0):
