@@ -100,6 +100,7 @@ def _kernel(
     lock_mode: str = "power",
     costas_thr: float = 0.4,
     interp: bool = False,
+    ablate: str = "",
 ):
     t = pl.program_id(0)
     n_epochs = pl.num_programs(0)
@@ -191,7 +192,10 @@ def _kernel(
     # theta(l) = 2pi * (phi0 + step*l), phi0 = carr_phase - drift*step.
     step = carr_freq / fs_f                            # [C, 1] cycles/sample
     phi0 = carr_phase - start_lane * step
-    if wp % 128 == 0:
+    if "notrig" in ablate:       # profiling hook: skip carrier trig
+        cth = mask + phi0
+        sth = mask * jnp.float32(1e-6)
+    elif wp % 128 == 0:
         # Outer-product factorization: l = 128*q + r, so
         # e^{j theta} = A[q] * B[r] with A = e^{j 2pi (phi0 + 128 step q)},
         # B = e^{j 2pi step r}. Exact trig only on 2*128 anchor points per
@@ -239,7 +243,9 @@ def _kernel(
     q_floor = jnp.floor(q)
     shift = drift - q_floor
     prompt = jnp.zeros((drift.shape[0], wp), jnp.float32)
-    if interp:
+    if "nosel" in ablate:        # profiling hook: skip variant select
+        prompt = reps_ref[:, half, :] + shift * jnp.float32(1e-9)
+    elif interp:
         # sub-sample interpolation: the ideal replica delay is
         # floor(q) + f samples; blend the floor variant with the
         # one-sample-later variant (index shift - 1) by f
@@ -260,15 +266,27 @@ def _kernel(
         # lanes earlier — shift the replica right to match (wrapped
         # head lanes are masked, see above)
         prompt = pltpu.roll(prompt, rem_i, 1)
-    early = pltpu.roll(prompt, wp - el_shift, 1)  # early[l] = prompt[l+el]
-    late = pltpu.roll(prompt, el_shift, 1)        # late[l]  = prompt[l-el]
+    if "noroll" in ablate:       # profiling hook: skip E/L rolls
+        early = prompt
+        late = prompt
+    else:
+        early = pltpu.roll(prompt, wp - el_shift, 1)  # early[l] = prompt[l+el]
+        late = pltpu.roll(prompt, el_shift, 1)        # late[l]  = prompt[l-el]
 
-    i_e = jnp.sum(re_w * early, axis=1, keepdims=True)
-    q_e = jnp.sum(im_w * early, axis=1, keepdims=True)
-    i_p = jnp.sum(re_w * prompt, axis=1, keepdims=True)
-    q_p = jnp.sum(im_w * prompt, axis=1, keepdims=True)
-    i_l = jnp.sum(re_w * late, axis=1, keepdims=True)
-    q_l = jnp.sum(im_w * late, axis=1, keepdims=True)
+    if "noel" in ablate:         # profiling hook: prompt-only correlation
+        i_p = jnp.sum(re_w * prompt, axis=1, keepdims=True)
+        q_p = jnp.sum(im_w * prompt, axis=1, keepdims=True)
+        i_e = i_p * jnp.float32(1.0000001)
+        q_e = q_p * jnp.float32(1.0000001)
+        i_l = i_p * jnp.float32(0.9999999)
+        q_l = q_p * jnp.float32(0.9999999)
+    else:
+        i_e = jnp.sum(re_w * early, axis=1, keepdims=True)
+        q_e = jnp.sum(im_w * early, axis=1, keepdims=True)
+        i_p = jnp.sum(re_w * prompt, axis=1, keepdims=True)
+        q_p = jnp.sum(im_w * prompt, axis=1, keepdims=True)
+        i_l = jnp.sum(re_w * late, axis=1, keepdims=True)
+        q_l = jnp.sum(im_w * late, axis=1, keepdims=True)
 
     power = i_p * i_p + q_p * q_p
     if lock_mode == "costas":
@@ -343,6 +361,13 @@ def _kernel(
     ])
 
     wr = jnp.where(act, 1.0, 0.0)
+    if "notelem" in ablate:      # profiling hook: minimal telemetry
+        telem_ref[0] = scatter([(0, i_p * wr)])
+
+        @pl.when(t == n_epochs - 1)
+        def _():
+            state_out_ref[:] = state[:]
+        return
     telem_ref[0] = scatter([
         (0, i_e * wr), (1, q_e * wr), (2, i_p * wr), (3, q_p * wr),
         (4, i_l * wr), (5, q_l * wr), (6, power * wr),
@@ -365,6 +390,7 @@ def _kernel(
         "n0", "fs", "code_len", "lock_threshold", "max_lost",
         "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
         "aiding_scale", "if_freq", "lock_mode", "costas_thr", "interp",
+        "ablate",
     ),
 )
 def track_block_fused(
@@ -389,10 +415,15 @@ def track_block_fused(
     lock_mode: str = "power",
     costas_thr: float = 0.4,
     interp: bool = False,
+    ablate: str = "",
 ):
     """Run T sequential tracking epochs in one kernel launch.
 
     Returns (telemetry [T, C, 128], state_out [C, 128]).
+    ``ablate`` is a profiling-only hook: a comma-joined set of stage
+    names ("notrig,nosel,noroll,noel,notelem") that stub out kernel
+    stages so their cost can be measured by difference; production
+    callers leave it empty.
     """
     t_epochs, c_channels, wp = windows_re.shape
     n_drift = replicas.shape[1]
@@ -405,7 +436,7 @@ def track_block_fused(
             pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
             el_shift=el_shift, aiding_scale=aiding_scale,
             if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
-            interp=interp,
+            interp=interp, ablate=ablate,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
