@@ -74,14 +74,14 @@ def _atan_poly(x):
 
 
 def _kernel(
-    win_re_ref,    # [1, C, WP] grid-indexed, or [C, L] when resident
-    win_im_ref,
+    win_re_ref,    # [1, C, WP] grid-indexed; [C, L] resident; [C, Lseg]
+    win_im_ref,    # HBM segment array in seg mode
     reps_ref,      # [C, n_drift, WP] PROMPT replica drift variants
     state_in_ref,  # [C, 128]
     telem_ref,     # [1, C, 128] out, grid-indexed
     state_out_ref,  # [C, 128] out
     state,         # [C, 128] f32 VMEM scratch
-    *,
+    *dma_scratch,  # seg mode: (win_re_s, win_im_s, sem2) VMEM + DMA sems
     n_drift: int,
     wp: int,
     n0: int,
@@ -95,6 +95,7 @@ def _kernel(
     dll_c2: float,
     el_shift: int = 1,
     resident: bool = False,
+    seg: bool = False,
     aiding_scale: float = 0.0,
     if_freq: float = 0.0,
     lock_mode: str = "power",
@@ -144,7 +145,41 @@ def _kernel(
     n_t_f = jnp.round(fs_f * jnp.float32(code_len) / code_rate_eff)
 
     # windows; valid epoch lanes are [start_lane, start_lane + n_t)
-    if resident:
+    if seg:
+        # SEG layout: per-channel offsets were pre-baked into the
+        # [C, Lseg] segment array by gather_segments (one DMA-speed
+        # copy per channel per block), so every channel's epoch-t
+        # window lives at the SAME 128-aligned lane start
+        # T128 = floor(t*n0/128)*128 — ONE strided 2-D DMA fetches all
+        # C narrow windows per epoch into VMEM scratch. The remainder
+        # rem = t*n0 - T128 is channel-independent; it shifts the mask
+        # (start_lane) and rolls the selected prompt, exactly like the
+        # unaligned-resident path. The per-channel alignment residue
+        # rem_c0 = off_c - a_c - el_pad rides state col 9 (as
+        # el_pad + rem_c0) and the replica anchor (build_replicas
+        # lane_shift), so the kernel body is untouched.
+        raw = t * n0
+        if n0 % 128 == 0:
+            start = pl.multiple_of(raw, 128)
+            rem_i = None
+        else:
+            start = pl.multiple_of((raw // 128) * 128, 128)
+            rem_i = raw - (raw // 128) * 128
+        win_re_s, win_im_s, sem2 = dma_scratch
+        cp1 = pltpu.make_async_copy(
+            win_re_ref.at[:, pl.ds(start, wp)], win_re_s, sem2.at[0])
+        cp2 = pltpu.make_async_copy(
+            win_im_ref.at[:, pl.ds(start, wp)], win_im_s, sem2.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        wre = win_re_s[:, :]                       # [C, WP]
+        wim = win_im_s[:, :]
+        start_lane = col(9) + drift                # col9 = el_pad+rem_c0
+        if rem_i is not None:
+            start_lane = start_lane + jnp.float32(rem_i)
+    elif resident:
         # ONE shared sample stream in VMEM: all channel offsets lie
         # within one code period, so a double-length window starting at
         # lane t * n0 covers every channel's epoch-t window. Per-channel
@@ -467,6 +502,154 @@ def track_block_fused(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "t_epochs", "n0", "wp", "fs", "code_len", "lock_threshold",
+        "max_lost", "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift",
+        "interpret", "aiding_scale", "if_freq", "lock_mode",
+        "costas_thr", "interp",
+    ),
+)
+def track_block_fused_seg(
+    seg_re: jax.Array,       # [C, Lseg] from gather_segments
+    seg_im: jax.Array,       # [C, Lseg]
+    replicas: jax.Array,     # [C, n_drift, WP] (build_replicas w/
+    state_in: jax.Array,     # lane_shift)   [C, 128] f32; col 9 =
+    *,                       # el_pad + rem_c0
+    t_epochs: int,
+    n0: int,
+    wp: int,
+    fs: float,
+    code_len: float = 1023.0,
+    lock_threshold: float = 15.0,
+    max_lost: int = 20,
+    pll_c1: float = 0.0,
+    pll_c2: float = 0.0,
+    dll_c1: float = 0.0,
+    dll_c2: float = 0.0,
+    el_shift: int = 1,
+    interpret: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
+):
+    """SEG-layout fused tracking: T epochs, ONE kernel launch, windows
+    DMA'd in-kernel from per-channel HBM segments.
+
+    Eliminates the [T, C, WP] window materialization that dominates the
+    streamed layout (measured 8.5 us/epoch of XLA pre-step time vs
+    ~0.1 us/epoch for the in-kernel strided DMA + rem roll on a v5e):
+    gather_segments bakes each channel's block-relative offset into a
+    [C, Lseg] array at DMA speed; thereafter every channel's epoch-t
+    window starts at the SAME aligned lane, so one 2-D copy per epoch
+    feeds the whole channel batch. Requires Lseg >= the last window's
+    end: floor((T-1)*n0/128)*128 + wp. Returns (telemetry [T, C, 128],
+    state_out [C, 128]) identical to track_block_fused.
+    """
+    c_channels = state_in.shape[0]
+    n_drift = replicas.shape[1]
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_drift=n_drift, wp=wp, n0=n0, fs=fs, code_len=code_len,
+            lock_threshold=lock_threshold, max_lost=max_lost,
+            pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+            el_shift=el_shift, seg=True, aiding_scale=aiding_scale,
+            if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
+            interp=interp,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((c_channels, N_FIELDS), jnp.float32),
+        ),
+        grid=(t_epochs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c_channels, N_FIELDS), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
+            pltpu.VMEM((c_channels, wp), jnp.float32),
+            pltpu.VMEM((c_channels, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(seg_re, seg_im, replicas, state_in)
+
+
+def seg_length(t_epochs: int, n0: int, wp: int) -> int:
+    """Lseg for track_block_fused_seg: last window end, 128-padded."""
+    last = ((t_epochs - 1) * n0 // 128) * 128 + wp
+    return ((last + 127) // 128) * 128
+
+
+def gather_segments(block_re, block_im, starts, l_seg: int, *,
+                    interpret: bool = False):
+    """Per-channel segment gather: ([C, Lseg], [C, Lseg]) copies of one
+    IQ stream at per-channel 128-aligned ``starts`` — ONE DMA per
+    channel per component, grid over channels.
+
+    This is the whole per-channel window-duplication cost of the seg
+    tracking layout, paid once per block at DMA bandwidth instead of
+    through XLA window materialization. Caller guarantees
+    ``starts[c] % 128 == 0`` and ``starts[c] + l_seg <= len(block)``.
+    """
+    c = starts.shape[0]
+    bre = block_re.reshape(1, -1)
+    bim = block_im.reshape(1, -1)
+
+    def kern(starts_ref, sre_ref, sim_ref, ore_ref, oim_ref, sems):
+        ci = pl.program_id(0)
+        a = pl.multiple_of(starts_ref[ci], 128)
+        cp1 = pltpu.make_async_copy(sre_ref.at[0, pl.ds(a, l_seg)],
+                                    ore_ref.at[0, 0], sems.at[0])
+        cp2 = pltpu.make_async_copy(sim_ref.at[0, pl.ds(a, l_seg)],
+                                    oim_ref.at[0, 0], sems.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+    gre, gim = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, l_seg), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_seg), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, 1, l_seg), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, l_seg), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, bre, bim)
+    return gre.reshape(c, l_seg), gim.reshape(c, l_seg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
         "lock_threshold", "max_lost",
         "pll_c1", "pll_c2", "dll_c1", "dll_c2", "el_shift", "interpret",
@@ -656,7 +839,8 @@ def slice_windows(block_re, block_im, offsets, t_epochs: int, n0: int,
 
 
 def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
-                   n0: int, wp: int, n_drift: int = 9, anchor=None):
+                   n0: int, wp: int, n_drift: int = 9, anchor=None,
+                   lane_shift=None):
     """XLA pre-step: [C, n_drift, WP] PROMPT replica rows at integer
     drift shifts around each channel's current code phase (early/late
     come from in-kernel rolls of the selected prompt row).
@@ -678,6 +862,13 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
     One dynamic slice per channel (only the code phase is dynamic);
     the n_drift x 3 variant rows are static sub-slices of that segment
     — vmapped dynamic_slice serializes on the axon backend.
+
+    ``lane_shift`` ([C] int32 in [0, 128), optional) shifts each
+    channel's replica RIGHT by that many window lanes — the seg
+    layout's per-channel 128-alignment residue rem_c0 (the kernel's
+    state col 9 carries the matching mask shift). Requires n0 large
+    enough that the shifted slice start stays >= 0 (n0 > el_pad +
+    half + 128, true for every GNSS signal at >= 1 sample/chip).
     """
     half = (n_drift - 1) // 2
     el_pad = el_shift + half           # window preroll (see kernel)
@@ -691,6 +882,10 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
             f"codes3x rows too short for build_replicas: have "
             f"{codes3x.shape[-1]}, need >= {need} "
             f"(= 2*n0 + wp - el_shift; see make_sampled_code_table)")
+    if lane_shift is not None and n0 <= el_pad + half + 128:
+        raise ValueError(
+            f"n0={n0} too small for lane_shift (need > "
+            f"{el_pad + half + 128})")
     out = []
     for c in range(codes3x.shape[0]):          # static unroll over C
         # FLOOR, not round: sampled signals/tables are floor-quantized
@@ -710,8 +905,11 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
         # epoch-start lane el_pad maps to chip phase s_i; drift d means
         # the epoch starts d samples LATE in the window, so the replica
         # shifts back by d
+        base_start = s_i + n0_i - el_pad - half
+        if lane_shift is not None:
+            base_start = base_start - lane_shift[c]
         seg = jax.lax.dynamic_slice(
-            codes3x[c], (s_i + n0_i - el_pad - half,), (seg_len,))
+            codes3x[c], (base_start,), (seg_len,))
         rows = []
         for d in range(n_drift):
             rel = 2 * half - d

@@ -49,25 +49,45 @@ N_TELEM_COLS = 17   # used telemetry columns (kernel docstring)
 
 
 class FusedTracker:
-    """Per-receiver instance wrapping the jitted fused block step."""
+    """Per-receiver instance wrapping the jitted fused block step.
+
+    ``layout`` selects the window feed:
+      * "seg" (default) — per-channel HBM segments via the in-kernel
+        DMA path (gather_segments + track_block_fused_seg): no XLA
+        window materialization, the fast path on real TPUs.
+      * "windows" — the original [T, C, WP] streamed layout
+        (slice_windows + track_block_fused), kept for A/B benching.
+    Both produce identical telemetry/state (tests/test_fused_kernel.py).
+    """
 
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
                  spec: SignalSpec, fs_hz: float, codes_sampled,
-                 t_epochs: int, buf_len: int):
+                 t_epochs: int, buf_len: int, layout: str = "seg"):
         if cfg.lock_mode not in ("power", "costas"):
             raise ValueError(
                 f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
+        if layout not in ("seg", "windows"):
+            raise ValueError(f"unknown fused layout {layout!r}")
         self.params = params
         self.spec = spec
         self.fs = fs_hz
         self.n0 = params.samples_per_code_nominal
         self.t_epochs = t_epochs
-        self.wp = ((params.window + 63 + 127) // 128) * 128
+        self.layout = layout
+        # seg windows carry up to 127+127 extra lanes of alignment
+        # residue (rem_c0 + rem_t), hence the +256
+        extra = 256 if layout == "seg" else 0
+        self.wp = ((params.window + extra + 63 + 127) // 128) * 128
         self.half = (N_DRIFT - 1) // 2
         self.el_pad = params.el_shift + self.half
         self.codes_sampled = jnp.asarray(codes_sampled)
-        # last offset that still fits T+1 nominal epochs + the window
-        self.max_offset = buf_len - (t_epochs * self.n0 + self.wp)
+        if layout == "seg":
+            self.l_seg = fused.seg_length(t_epochs, self.n0, self.wp)
+            # gather reads [a_c, a_c + l_seg); a_c <= off - el_pad
+            self.max_offset = buf_len - self.l_seg + self.el_pad - 1
+        else:
+            # last offset that still fits T+1 nominal epochs + window
+            self.max_offset = buf_len - (t_epochs * self.n0 + self.wp)
         if self.max_offset <= self.el_pad + self.n0:
             raise ValueError(
                 f"buffer too short for fused tracking: len={buf_len}, "
@@ -78,8 +98,10 @@ class FusedTracker:
         self.aiding_scale = (float(params.aiding_scale)
                              if cfg.carrier_aiding else 0.0)
         self.if_freq = float(params.if_freq_hz)
+        step_fn = (_fused_block_step_seg if layout == "seg"
+                   else _fused_block_step)
         self._step = functools.partial(
-            _fused_block_step,
+            step_fn,
             t_epochs=t_epochs, n0=self.n0, wp=self.wp,
             el_pad=self.el_pad, el_shift=params.el_shift,
             fs=fs_hz, code_len=float(spec.code_length_chips),
@@ -91,6 +113,8 @@ class FusedTracker:
             costas_thr=cfg.costas_lock_threshold,
             interp=cfg.interp_code,
         )
+        if layout == "seg":
+            self._step = functools.partial(self._step, l_seg=self.l_seg)
 
     # ------------------------------------------------------------------
     def run_block(self, state: trk.ChannelState, block_re, block_im,
@@ -153,7 +177,17 @@ class FusedTracker:
         # result downloads batch into ONE device_get round trip — each
         # separate transfer costs a full sync quantum on a remote
         # device transport (~30 ms on the tunneled session backend)
-        mat[:, 12] = np.where(eligible, offset0, 0).astype(np.float32)
+        if self.layout == "seg":
+            # 128-aligned gather starts; the residue rem_c0 rides col 9
+            # (as el_pad + rem_c0 = off - a_c, the kernel's mask base)
+            # and shifts the replica anchor (build_replicas lane_shift)
+            a_c = ((offset0 - self.el_pad) // 128) * 128
+            a_c = np.where(eligible, np.maximum(a_c, 0), 0)
+            mat[:, 9] = np.where(eligible, offset0 - a_c,
+                                 self.el_pad).astype(np.float32)
+            mat[:, 12] = a_c.astype(np.float32)
+        else:
+            mat[:, 12] = np.where(eligible, offset0, 0).astype(np.float32)
         mat[:, 13] = anchor.astype(np.float32)
         telem_m, mat_out = jax.device_get(self._step(
             jnp.asarray(block_re), jnp.asarray(block_im),
@@ -273,4 +307,47 @@ def _fused_block_step(block_re, block_im,
     # only the first N_TELEM_COLS of the 128-lane telemetry rows carry
     # data; slicing ON DEVICE cuts the host download ~7.5x per block
     # (material over a remote device transport)
+    return telem[:, :, :N_TELEM_COLS], st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_epochs", "n0", "wp", "el_pad", "el_shift", "fs",
+                     "code_len", "lock_threshold", "max_lost",
+                     "pll_c1", "pll_c2", "dll_c1", "dll_c2",
+                     "aiding_scale", "if_freq", "lock_mode",
+                     "costas_thr", "interp", "l_seg"),
+)
+def _fused_block_step_seg(block_re, block_im,
+                          codes_rows, state_mat, *, t_epochs, n0, wp,
+                          el_pad, el_shift, fs, code_len,
+                          lock_threshold, max_lost,
+                          pll_c1, pll_c2, dll_c1, dll_c2,
+                          aiding_scale=0.0, if_freq=0.0,
+                          lock_mode="power", costas_thr=0.4,
+                          interp=False, l_seg=0):
+    """SEG-layout block step: per-channel segment gather (one DMA per
+    channel) + in-kernel window DMAs replace the [T, C, WP] window
+    materialization of _fused_block_step — the XLA pre-steps measured
+    ~8.5 us/epoch on a v5e (2/3 of the whole tracking path) and this
+    layout removes them entirely (ROADMAP round-2 perf pass)."""
+    interpret = jax.default_backend() == "cpu"
+    starts = state_mat[:, 12].astype(jnp.int32)        # a_c, 128-aligned
+    anchor = state_mat[:, 13].astype(jnp.int32)
+    rem_c0 = (state_mat[:, 9] - jnp.float32(el_pad)).astype(jnp.int32)
+    seg_re, seg_im = fused.gather_segments(
+        block_re, block_im, starts, l_seg, interpret=interpret)
+    reps = fused.build_replicas(codes_rows, None, None, el_shift,
+                                n0, wp, n_drift=N_DRIFT, anchor=anchor,
+                                lane_shift=rem_c0)
+    telem, st = fused.track_block_fused_seg(
+        seg_re, seg_im, reps, state_mat, t_epochs=t_epochs, n0=n0,
+        wp=wp, fs=fs, code_len=code_len,
+        lock_threshold=lock_threshold, max_lost=max_lost,
+        pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+        el_shift=el_shift,
+        aiding_scale=aiding_scale, if_freq=if_freq, lock_mode=lock_mode,
+        costas_thr=costas_thr, interp=interp,
+        interpret=interpret,
+    )
     return telem[:, :, :N_TELEM_COLS], st
