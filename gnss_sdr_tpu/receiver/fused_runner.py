@@ -89,9 +89,19 @@ class FusedTracker:
             # last offset that still fits T+1 nominal epochs + window
             self.max_offset = buf_len - (t_epochs * self.n0 + self.wp)
         if self.max_offset <= self.el_pad + self.n0:
+            need = (self.l_seg + self.n0 + 1 - self.el_pad
+                    if layout == "seg"
+                    else t_epochs * self.n0 + self.wp + self.n0)
             raise ValueError(
-                f"buffer too short for fused tracking: len={buf_len}, "
-                f"need > {t_epochs * self.n0 + self.wp + self.n0}")
+                f"buffer too short for fused tracking "
+                f"(layout={layout!r}): len={buf_len}, need > {need}")
+        if layout == "seg" and self.n0 <= self.el_pad + self.half + 128:
+            # the kernel's lane_shift guard would only fire inside the
+            # first jitted run_block; fail at construction instead
+            raise ValueError(
+                f"n0={self.n0} too small for the seg fused layout "
+                f"(need > {self.el_pad + self.half + 128}); use "
+                "layout='windows'")
         p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
         # carrier aiding / Costas lock / code interpolation are kernel
         # statics (parity with the scanned path, receiver/tracking.py)

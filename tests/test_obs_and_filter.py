@@ -49,11 +49,10 @@ class TestRinexObsWriter:
         if not os.path.exists(RINEX_PATH):
             pytest.skip("reference RINEX data absent")
         import tests.conftest  # noqa: F401
-        from tests.test_pvt_end_to_end import solved  # reuse fixture logic
+        from tests.test_pvt_end_to_end import build_solved
 
-        # use the already-validated solved fixture machinery directly
-        gen = solved.__wrapped__()
-        rx, sol, sats = gen
+        # reuse the already-validated solved-scene helper directly
+        rx, sol, sats = build_solved()
         obs = rx.nav.observables()
         assert obs is not None
         p = tmp_path / "rx_obs.rnx"

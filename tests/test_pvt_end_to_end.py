@@ -82,8 +82,9 @@ def build_scene():
     return sats, t_ref
 
 
-@pytest.fixture(scope="module")
-def solved():
+def build_solved():
+    """Run the full synthetic scene to a PVT fix (plain helper so other
+    test modules can reuse it without poking fixture internals)."""
     sats, t_ref = build_scene()
     assert len(sats) >= 4
 
@@ -148,6 +149,11 @@ def solved():
 
     sol = rx.compute_pvt()
     return rx, sol, sats
+
+
+@pytest.fixture(scope="module")
+def solved():
+    return build_solved()
 
 
 class TestPvtEndToEnd:
