@@ -10,12 +10,16 @@ the D1 NAV chain per BDS-SIS-ICD-2.1 for MEO/IGSO satellites:
   x^4 + x + 1; words 2-10 carry two bit-interleaved BCH blocks) ->
   300-bit subframes -> SOW + subframes 1-3 -> Keplerian ephemeris.
 
-Field widths and scale factors follow the ICD; field ORDER within each
-subframe's decoded payload is the ICD's field order laid out
-sequentially (the ICD's exact word-straddling bit numbers are not
-reproduced — no real-sky captures exist to validate against, so the
-encoder below is the normative layout oracle for this implementation
-and the decoder is its exact inverse).
+Bit layout is ICD-EXACT: every word carries 22 information bits
+followed by 8 (interleaved) parity bits, and the subframe fields pack
+SEQUENTIALLY into the concatenated information stream — which
+reproduces the ICD's word-straddling bit numbers exactly (e.g. SF1
+t_oc at bits {74..82}+{91..98}, SF2 sqrt_a at {251..262}+{271..290},
+SF3 omega0 at {212..232}+{241..251}). Each subframe's field list fills
+its 9x22+11 = 209 information bits exactly — a structural consistency
+check with ICD tables 5-4..5-10. tests/test_bds_icd_layout.py verifies
+the decoder against hand-built bit vectors placed at the ICD's
+absolute bit positions (independent of the encoder below).
 
 Timing: SOW (seconds of BDT week) marks the leading edge of the
 current subframe's first bit (preamble start), per ICD 5.2.3.
@@ -153,6 +157,20 @@ _SF1_FIELDS = [
     ("wn", 13, 1, False),
     ("t_oc", 17, 8.0, False),
     ("t_gd", 10, 1e-10, True),          # TGD1, 0.1 ns
+    ("t_gd2", 10, 1e-10, True),         # TGD2 (B2I), 0.1 ns
+    # Klobuchar-style ionospheric model (ICD table 5-6); the 8-bit
+    # alpha/beta terms sit between TGD2 and the clock polynomial —
+    # their presence is what puts a2/a0/a1 at the ICD's exact
+    # word-straddling positions ({215,11}, {226,7}+{241,17},
+    # {258,5}+{271,17})
+    ("alpha0", 8, 2.0**-30, True),
+    ("alpha1", 8, 2.0**-27, True),
+    ("alpha2", 8, 2.0**-24, True),
+    ("alpha3", 8, 2.0**-24, True),
+    ("beta0", 8, 2.0**11, True),
+    ("beta1", 8, 2.0**14, True),
+    ("beta2", 8, 2.0**16, True),
+    ("beta3", 8, 2.0**16, True),
     ("a_f2", 11, 2.0**-66, True),
     ("a_f0", 24, 2.0**-33, True),
     ("a_f1", 22, 2.0**-50, True),
@@ -178,6 +196,7 @@ _SF3_FIELDS = [
     ("idot", 14, 2.0**-43 * PI_ICD, True),
     ("omega0", 32, 2.0**-31 * PI_ICD, True),
     ("omega", 32, 2.0**-31 * PI_ICD, True),
+    ("_rev", 1, 1, False),              # reserved tail bit (bit 292)
 ]
 _FIELDS = {1: _SF1_FIELDS, 2: _SF2_FIELDS, 3: _SF3_FIELDS}
 PAYLOAD_BITS = 11 + 9 * 22  # 209
@@ -196,7 +215,8 @@ def encode_subframe(fra_id: int, sow: int, fields: dict[str, float]
         v = int(round(raw / scale)) if scale != 1 else int(raw)
         payload[pos:pos + nbits] = _bits_of(v & ((1 << nbits) - 1), nbits)
         pos += nbits
-    assert pos <= PAYLOAD_BITS
+    # subframes 1-3 fill the information stream EXACTLY (ICD layout)
+    assert pos == PAYLOAD_BITS if fra_id in (1, 2, 3) else pos <= PAYLOAD_BITS
     # payload -> words
     out = np.zeros(SUBFRAME_BITS, np.uint8)
     out[0:11] = PREAMBLE01

@@ -11,14 +11,18 @@ the L1OF nav chain per the GLONASS ICD (edition 5.1):
   (85,77) single-error correction -> strings 1-4 -> PZ-90 state-vector
   ephemeris (position/velocity/acceleration at t_b) + time (tk, NT).
 
-String layouts use the ICD's field order, widths, scale factors, and
-sign-magnitude number convention (ICD tables 4.5/4.9). The Hamming
-code is a systematic (85,77) SEC construction with the ICD's geometry
-(7 check equations + overall parity in bits 1-8); the exact ICD
-check-bit index sets are not reproduced bit-for-bit (no real-sky
-capture exists here to validate against), so the encoder below is the
-normative oracle and the decoder its exact inverse — the same policy
-as nav/bds_d1.py.
+String layouts are ICD-EXACT (tables 4.5/4.9): field order, widths,
+scale factors, reserved-bit positions, and the sign-magnitude number
+convention; every string's field list fills bits 84..9 exactly. The
+Hamming (85,77) KX code reproduces the ICD's published check-bit
+index sets: check c_j covers the data bits whose systematic-Hamming
+position (the j-th non-power-of-two integer >= 3 for ICD bit 8+j) has
+bit j-1 set — which yields exactly the ICD 4.7 sets, e.g.
+C5 = {20..34, 50..65, 81..85}, C6 = {35..65}, C7 = {66..85}.
+c1..c7 occupy string bits 1..7 and the overall parity c_sigma bit 8,
+per ICD 4.7. tests/test_glonass_icd_layout.py validates the decoder
+against hand-built strings using independently transcribed index-set
+tables.
 
 Timing: the anchor is the START of a string's data part; string m of a
 frame starts at day time tk_s + 2*(m-1) (tk = frame start, Moscow
@@ -83,10 +87,12 @@ def hamming_encode(data77: np.ndarray) -> np.ndarray:
         # reversed (bit 85 first): d[0] is bit 85 <-> code index 76
         checks[k] = int(np.bitwise_xor.reduce(d[::-1] & mask.astype(np.uint8)))
     out = np.concatenate([d, np.zeros(8, np.uint8)])
-    # bits 8..2 = c7..c1 (transmit index 77..83), bit 1 = overall parity
+    # ICD 4.7 placement: c_k in string bit k (transmit index 85 - k),
+    # overall parity c_sigma in bit 8 (transmit index 77)
     for k in range(7):
-        out[77 + (6 - k)] = checks[k]
-    out[84] = int(np.bitwise_xor.reduce(out[:84]))
+        out[84 - k] = checks[k]
+    out[77] = int(np.bitwise_xor.reduce(out[:77])) ^ int(
+        np.bitwise_xor.reduce(out[78:]))
     return out
 
 
@@ -97,9 +103,9 @@ def hamming_decode(string85: np.ndarray) -> Optional[np.ndarray]:
     syn = 0
     for k in range(7):
         mask = ((_CODES >> k) & 1).astype(np.uint8)
-        c = int(np.bitwise_xor.reduce(d[::-1] & mask)) ^ int(s[77 + (6 - k)])
+        c = int(np.bitwise_xor.reduce(d[::-1] & mask)) ^ int(s[84 - k])
         syn |= c << k
-    par = int(np.bitwise_xor.reduce(s[:84])) ^ int(s[84])
+    par = int(np.bitwise_xor.reduce(s))   # total parity (c_sigma even)
     if syn == 0 and par == 0:
         return d
     if syn == 0 and par == 1:
@@ -109,7 +115,7 @@ def hamming_decode(string85: np.ndarray) -> Optional[np.ndarray]:
     # single error: find the flipped bit
     if bin(syn).count("1") == 1:
         k = syn.bit_length() - 1
-        s[77 + (6 - k)] ^= 1
+        s[84 - k] ^= 1
         return s[:77]
     idx = np.nonzero(_CODES == syn)[0]
     if idx.size == 0:
@@ -149,20 +155,26 @@ def _sm_decode(bits, scale: float) -> float:
 
 
 # (name, nbits, scale, kind) kind: u=unsigned, s=sign-magnitude
+# Exact ICD table 4.5 layouts including reserved bits — each list
+# fills bits 80..9 exactly (72 bits after the 4-bit string number m at
+# bits 84..81), reproducing the ICD's absolute field positions (e.g.
+# string 1 tk at bits 76..65, x_dot at 64..41, x at 35..9).
 _STRING_FIELDS = {
-    1: [("p1", 2, 1, "u"), ("tk_h", 5, 1, "u"), ("tk_m", 6, 1, "u"),
-        ("tk_30", 1, 1, "u"),
+    1: [("_rsvd", 2, 1, "u"), ("p1", 2, 1, "u"),
+        ("tk_h", 5, 1, "u"), ("tk_m", 6, 1, "u"), ("tk_30", 1, 1, "u"),
         ("vx", 24, 2.0**-20, "s"), ("ax", 5, 2.0**-30, "s"),
         ("x", 27, 2.0**-11, "s")],
     2: [("bn", 3, 1, "u"), ("p2", 1, 1, "u"), ("tb", 7, 15 * 60.0, "u"),
+        ("_rsvd", 5, 1, "u"),
         ("vy", 24, 2.0**-20, "s"), ("ay", 5, 2.0**-30, "s"),
         ("y", 27, 2.0**-11, "s")],
     3: [("p3", 1, 1, "u"), ("gamma_n", 11, 2.0**-40, "s"),
-        ("p", 2, 1, "u"), ("ln", 1, 1, "u"),
+        ("_rsvd", 1, 1, "u"), ("p", 2, 1, "u"), ("ln", 1, 1, "u"),
         ("vz", 24, 2.0**-20, "s"), ("az", 5, 2.0**-30, "s"),
         ("z", 27, 2.0**-11, "s")],
     4: [("tau_n", 22, 2.0**-30, "s"), ("dtau_n", 5, 2.0**-30, "s"),
-        ("en", 5, 1, "u"), ("p4", 1, 1, "u"), ("ft", 4, 1, "u"),
+        ("en", 5, 1, "u"), ("_rsvd", 14, 1, "u"), ("p4", 1, 1, "u"),
+        ("ft", 4, 1, "u"), ("_rsvd2", 3, 1, "u"),
         ("nt", 11, 1, "u"), ("n", 5, 1, "u"), ("m_type", 2, 1, "u")],
 }
 
@@ -182,7 +194,8 @@ def encode_string(m: int, fields: dict[str, float]) -> np.ndarray:
                 int(round(float(val) / scale)) if scale != 1 else int(val),
                 nbits)
         pos += nbits
-    assert pos <= 77
+    # strings 1-4 fill bits 84..9 exactly (ICD table 4.5)
+    assert pos == 77 if m in (1, 2, 3, 4) else pos <= 77
     return hamming_encode(data)
 
 
