@@ -73,18 +73,17 @@ def _atan_poly(x):
     return jnp.where(x < 0.0, -r, r)
 
 
-def _kernel(
-    win_re_ref,    # [1, C, WP] grid-indexed; [C, L] resident; [C, Lseg]
-    win_im_ref,    # HBM segment array in seg mode
+def _epoch_core(
+    state,         # [C, 128] f32 VALUE (not a ref)
+    wre,           # [C, WP] or [1, WP] epoch window, real
+    wim,           # imag
     reps_ref,      # [C, n_drift, WP] PROMPT replica drift variants
-    state_in_ref,  # [C, 128]
-    telem_ref,     # [1, C, 128] out, grid-indexed
-    state_out_ref,  # [C, 128] out
-    state,         # [C, 128] f32 VMEM scratch
-    *dma_scratch,  # seg mode: (win_re_s, win_im_s, sem2) VMEM + DMA sems
+    start_lane,    # [C, 1] f32 epoch-start lane within the window
+    rem_i,         # traced int lanes the replica must roll RIGHT, or None
+    lane,          # [1, WP] f32 iota
+    *,
     n_drift: int,
     wp: int,
-    n0: int,
     fs: float,
     code_len: float,
     lock_threshold: float,
@@ -93,27 +92,23 @@ def _kernel(
     pll_c2: float,
     dll_c1: float,
     dll_c2: float,
-    el_shift: int = 1,
-    resident: bool = False,
-    seg: bool = False,
-    aiding_scale: float = 0.0,
-    if_freq: float = 0.0,
-    lock_mode: str = "power",
-    costas_thr: float = 0.4,
-    interp: bool = False,
-    ablate: str = "",
+    el_shift: int,
+    aiding_scale: float,
+    if_freq: float,
+    lock_mode: str,
+    costas_thr: float,
+    interp: bool,
+    ablate: str,
+    n0: int,
 ):
-    t = pl.program_id(0)
-    n_epochs = pl.num_programs(0)
+    """ONE tracking epoch for the whole channel batch: carrier wipeoff,
+    replica select, E/P/L correlation, discriminators, loop filters.
+
+    Pure value -> value so every kernel mode (per-epoch grid, resident,
+    seg DMA, direct multi-epoch superstep) shares the exact same math.
+    Returns ``(new_state [C,128], telem_row [C,128], n_t_f [C,1])``.
+    """
     half = (n_drift - 1) // 2
-
-    @pl.when(t == 0)
-    def _():
-        state[:] = state_in_ref[:]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(
-        jnp.float32
-    )
 
     def col(k):
         return state[:, k:k + 1]                       # [C, 1]
@@ -127,7 +122,7 @@ def _kernel(
     lost = col(6)
     active = col(7)
     drift = col(8)
-    woff = col(9)          # resident mode: shared-window channel offset
+    woff = col(9)          # resident/seg: shared-window channel offset
     frac0 = col(10)        # chips: block-start replica quantization
                            # residual, cp0 - floor(cp0/dc0)*dc0
     lock_ema = col(11)     # costas lock-mode EMA
@@ -144,81 +139,6 @@ def _kernel(
     dc = code_rate_eff / fs_f                          # [C, 1]
     n_t_f = jnp.round(fs_f * jnp.float32(code_len) / code_rate_eff)
 
-    # windows; valid epoch lanes are [start_lane, start_lane + n_t)
-    if seg:
-        # SEG layout: per-channel offsets were pre-baked into the
-        # [C, Lseg] segment array by gather_segments (one DMA-speed
-        # copy per channel per block), so every channel's epoch-t
-        # window lives at the SAME 128-aligned lane start
-        # T128 = floor(t*n0/128)*128 — ONE strided 2-D DMA fetches all
-        # C narrow windows per epoch into VMEM scratch. The remainder
-        # rem = t*n0 - T128 is channel-independent; it shifts the mask
-        # (start_lane) and rolls the selected prompt, exactly like the
-        # unaligned-resident path. The per-channel alignment residue
-        # rem_c0 = off_c - a_c - el_pad rides state col 9 (as
-        # el_pad + rem_c0) and the replica anchor (build_replicas
-        # lane_shift), so the kernel body is untouched.
-        raw = t * n0
-        if n0 % 128 == 0:
-            start = pl.multiple_of(raw, 128)
-            rem_i = None
-        else:
-            start = pl.multiple_of((raw // 128) * 128, 128)
-            rem_i = raw - (raw // 128) * 128
-        win_re_s, win_im_s, sem2 = dma_scratch
-        cp1 = pltpu.make_async_copy(
-            win_re_ref.at[:, pl.ds(start, wp)], win_re_s, sem2.at[0])
-        cp2 = pltpu.make_async_copy(
-            win_im_ref.at[:, pl.ds(start, wp)], win_im_s, sem2.at[1])
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        wre = win_re_s[:, :]                       # [C, WP]
-        wim = win_im_s[:, :]
-        start_lane = col(9) + drift                # col9 = el_pad+rem_c0
-        if rem_i is not None:
-            start_lane = start_lane + jnp.float32(rem_i)
-    elif resident:
-        # ONE shared sample stream in VMEM: all channel offsets lie
-        # within one code period, so a double-length window starting at
-        # lane t * n0 covers every channel's epoch-t window. Per-channel
-        # alignment is pure state: the window-offset column (state[9])
-        # shifts the mask and the carrier phase reference; the replicas
-        # are pre-anchored per channel (build_replicas_shared).
-        # Eliminates the C-fold window duplication of the streamed
-        # layout entirely.
-        #
-        # VMEM slice starts must be 128-aligned. When n0 % 128 == 0 the
-        # natural start t * n0 is provably aligned; otherwise slice at
-        # the aligned floor and carry the remainder rem = t*n0 - start
-        # into the lane bookkeeping: the epoch mask/phase reference
-        # shift by rem, and the pre-anchored replica (built for a
-        # window starting exactly at t*n0) is dynamically rolled right
-        # by rem lanes below. The roll's wrapped head lanes [0, rem)
-        # are always masked (epoch body starts at lane
-        # rem + window_offset >= rem + el_pad).
-        if n0 % 128 == 0:
-            start = pl.multiple_of(t * n0, 128)
-            rem_i = None
-        else:
-            raw = t * n0
-            start = pl.multiple_of((raw // 128) * 128, 128)
-            rem_i = raw - (raw // 128) * 128
-        wre = win_re_ref[0:1, pl.ds(start, wp)]    # [1, WP] shared
-        wim = win_im_ref[0:1, pl.ds(start, wp)]
-        start_lane = col(9) + drift
-        if rem_i is not None:
-            start_lane = start_lane + jnp.float32(rem_i)
-    else:
-        # windows are sliced el_pad = el_shift + half lanes EARLY
-        # (slice_windows el_pad arg) so the epoch body always sits
-        # >= el_shift lanes from the window edges — required for the
-        # rolled early/late replicas to be exact
-        rem_i = None
-        wre = win_re_ref[0]
-        wim = win_im_ref[0]
-        start_lane = drift + jnp.float32(el_shift + half)
     in_epoch = jnp.logical_and(lane >= start_lane,
                                lane < start_lane + n_t_f)
     mask = in_epoch.astype(jnp.float32)
@@ -296,10 +216,10 @@ def _kernel(
             sel_d = (shift == jnp.float32(d - half)).astype(jnp.float32)
             prompt = prompt + sel_d * reps_ref[:, d, :]
     if rem_i is not None:
-        # unaligned resident mode: the replica was anchored for a
-        # window starting at sample t*n0, the VMEM slice starts rem
+        # unaligned window start: the replica was anchored for a window
+        # starting at the nominal epoch lane, the slice starts rem
         # lanes earlier — shift the replica right to match (wrapped
-        # head lanes are masked, see above)
+        # head lanes are masked; the epoch body starts past them)
         prompt = pltpu.roll(prompt, rem_i, 1)
     if "noroll" in ablate:       # profiling hook: skip E/L rolls
         early = prompt
@@ -380,7 +300,7 @@ def _kernel(
             out = out + (fid == k).astype(jnp.float32) * v
         return out
 
-    state[:] = scatter([
+    new_state = scatter([
         (0, sel(new_carr_freq, carr_freq)),
         (1, sel(new_carr_phase, carr_phase)),
         (2, sel(new_carr_err, carr_err)),
@@ -397,13 +317,9 @@ def _kernel(
 
     wr = jnp.where(act, 1.0, 0.0)
     if "notelem" in ablate:      # profiling hook: minimal telemetry
-        telem_ref[0] = scatter([(0, i_p * wr)])
-
-        @pl.when(t == n_epochs - 1)
-        def _():
-            state_out_ref[:] = state[:]
-        return
-    telem_ref[0] = scatter([
+        telem_row = scatter([(0, i_p * wr)])
+        return new_state, telem_row, n_t_f
+    telem_row = scatter([
         (0, i_e * wr), (1, q_e * wr), (2, i_p * wr), (3, q_p * wr),
         (4, i_l * wr), (5, q_l * wr), (6, power * wr),
         (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
@@ -413,6 +329,143 @@ def _kernel(
         (15, jnp.where(jnp.logical_and(died, act), 1.0, 0.0)),
         (16, wr),
     ])
+    return new_state, telem_row, n_t_f
+
+
+def _kernel(
+    win_re_ref,    # [1, C, WP] grid-indexed; [C, L] resident; [C, Lseg]
+    win_im_ref,    # HBM segment array in seg mode
+    reps_ref,      # [C, n_drift, WP] PROMPT replica drift variants
+    state_in_ref,  # [C, 128]
+    telem_ref,     # [1, C, 128] out, grid-indexed
+    state_out_ref,  # [C, 128] out
+    state,         # [C, 128] f32 VMEM scratch
+    *dma_scratch,  # seg mode: (win_re_s, win_im_s, sem2) VMEM + DMA sems
+    n_drift: int,
+    wp: int,
+    n0: int,
+    fs: float,
+    code_len: float,
+    lock_threshold: float,
+    max_lost: int,
+    pll_c1: float,
+    pll_c2: float,
+    dll_c1: float,
+    dll_c2: float,
+    el_shift: int = 1,
+    resident: bool = False,
+    seg: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
+    ablate: str = "",
+):
+    t = pl.program_id(0)
+    n_epochs = pl.num_programs(0)
+    half = (n_drift - 1) // 2
+
+    @pl.when(t == 0)
+    def _():
+        state[:] = state_in_ref[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(
+        jnp.float32
+    )
+    st = state[:, :]
+
+    def col(k):
+        return st[:, k:k + 1]                          # [C, 1]
+
+    drift = col(8)
+
+    # windows; valid epoch lanes are [start_lane, start_lane + n_t)
+    if seg:
+        # SEG layout: per-channel offsets were pre-baked into the
+        # [C, Lseg] segment array by gather_segments (one DMA-speed
+        # copy per channel per block), so every channel's epoch-t
+        # window lives at the SAME 128-aligned lane start
+        # T128 = floor(t*n0/128)*128 — ONE strided 2-D DMA fetches all
+        # C narrow windows per epoch into VMEM scratch. The remainder
+        # rem = t*n0 - T128 is channel-independent; it shifts the mask
+        # (start_lane) and rolls the selected prompt, exactly like the
+        # unaligned-resident path. The per-channel alignment residue
+        # rem_c0 = off_c - a_c - el_pad rides state col 9 (as
+        # el_pad + rem_c0) and the replica anchor (build_replicas
+        # lane_shift), so the kernel body is untouched.
+        raw = t * n0
+        if n0 % 128 == 0:
+            start = pl.multiple_of(raw, 128)
+            rem_i = None
+        else:
+            start = pl.multiple_of((raw // 128) * 128, 128)
+            rem_i = raw - (raw // 128) * 128
+        win_re_s, win_im_s, sem2 = dma_scratch
+        cp1 = pltpu.make_async_copy(
+            win_re_ref.at[:, pl.ds(start, wp)], win_re_s, sem2.at[0])
+        cp2 = pltpu.make_async_copy(
+            win_im_ref.at[:, pl.ds(start, wp)], win_im_s, sem2.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        wre = win_re_s[:, :]                       # [C, WP]
+        wim = win_im_s[:, :]
+        start_lane = col(9) + drift                # col9 = el_pad+rem_c0
+        if rem_i is not None:
+            start_lane = start_lane + jnp.float32(rem_i)
+    elif resident:
+        # ONE shared sample stream in VMEM: all channel offsets lie
+        # within one code period, so a double-length window starting at
+        # lane t * n0 covers every channel's epoch-t window. Per-channel
+        # alignment is pure state: the window-offset column (state[9])
+        # shifts the mask and the carrier phase reference; the replicas
+        # are pre-anchored per channel (build_replicas_shared).
+        # Eliminates the C-fold window duplication of the streamed
+        # layout entirely.
+        #
+        # VMEM slice starts must be 128-aligned. When n0 % 128 == 0 the
+        # natural start t * n0 is provably aligned; otherwise slice at
+        # the aligned floor and carry the remainder rem = t*n0 - start
+        # into the lane bookkeeping: the epoch mask/phase reference
+        # shift by rem, and the pre-anchored replica (built for a
+        # window starting exactly at t*n0) is dynamically rolled right
+        # by rem lanes below. The roll's wrapped head lanes [0, rem)
+        # are always masked (epoch body starts at lane
+        # rem + window_offset >= rem + el_pad).
+        if n0 % 128 == 0:
+            start = pl.multiple_of(t * n0, 128)
+            rem_i = None
+        else:
+            raw = t * n0
+            start = pl.multiple_of((raw // 128) * 128, 128)
+            rem_i = raw - (raw // 128) * 128
+        wre = win_re_ref[0:1, pl.ds(start, wp)]    # [1, WP] shared
+        wim = win_im_ref[0:1, pl.ds(start, wp)]
+        start_lane = col(9) + drift
+        if rem_i is not None:
+            start_lane = start_lane + jnp.float32(rem_i)
+    else:
+        # windows are sliced el_pad = el_shift + half lanes EARLY
+        # (slice_windows el_pad arg) so the epoch body always sits
+        # >= el_shift lanes from the window edges — required for the
+        # rolled early/late replicas to be exact
+        rem_i = None
+        wre = win_re_ref[0]
+        wim = win_im_ref[0]
+        start_lane = drift + jnp.float32(el_shift + half)
+    new_state, telem_row, _ = _epoch_core(
+        st, wre, wim, reps_ref, start_lane, rem_i, lane,
+        n_drift=n_drift, wp=wp, fs=fs, code_len=code_len,
+        lock_threshold=lock_threshold, max_lost=max_lost,
+        pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+        el_shift=el_shift, aiding_scale=aiding_scale, if_freq=if_freq,
+        lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
+        ablate=ablate, n0=n0,
+    )
+    state[:] = new_state
+    telem_ref[0] = telem_row
 
     @pl.when(t == n_epochs - 1)
     def _():
@@ -590,6 +643,269 @@ def seg_length(t_epochs: int, n0: int, wp: int) -> int:
     """Lseg for track_block_fused_seg: last window end, 128-padded."""
     last = ((t_epochs - 1) * n0 // 128) * 128 + wp
     return ((last + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# DIRECT layout: per-channel double-buffered DMA straight from the shared
+# stream — no per-channel segment materialization (gather_segments) at all.
+# ---------------------------------------------------------------------------
+
+def choose_k(t_epochs: int, k_max: int = 16) -> int | None:
+    """Largest superstep size K <= k_max with t_epochs % (2K) == 0.
+
+    The direct kernel pairs supersteps (two per grid step) so the
+    double-buffer slot index is STATIC — Mosaic rejects dynamically
+    indexed VMEM scratch/semaphores (measured: remote-compile failure
+    on the axon backend for the dynamic-slot variant, tools/dma_probe).
+    """
+    for k in range(min(k_max, t_epochs // 2), 0, -1):
+        if t_epochs % (2 * k) == 0:
+            return k
+    return None
+
+
+def direct_span(k_epochs: int, n0: int, wp: int) -> int:
+    """Per-channel DMA span for one K-epoch superstep (lane count)."""
+    return ((k_epochs - 1) * n0 // 128) * 128 + wp
+
+
+def _direct_kernel(
+    starts_ref,     # [C] int32 scalar-prefetch: 128-aligned a_c
+    stream_re_ref,  # [1, L] shared sample stream (ANY/HBM)
+    stream_im_ref,
+    reps_ref,       # [C, n_drift, WP] (build_replicas w/ lane_shift)
+    state_in_ref,   # [C, 128]
+    telem_ref,      # [2K, C, 128] out block, grid-indexed
+    state_out_ref,  # [C, 128] out
+    state,          # [C, 128] f32 VMEM scratch
+    w0r, w0i,       # [C, 1, span] VMEM window slots (double buffer;
+    w1r, w1i,       # the middle unit dim makes the per-channel DMA
+                    # destination .at[c] a [1, span] block — Mosaic
+                    # rejects row slices of a 2-D [C, span] scratch)
+    sems,           # DMA sems [2 slots, 2 components]
+    *,
+    c_channels: int,
+    k_epochs: int,
+    n_drift: int,
+    wp: int,
+    span: int,
+    n0: int,
+    fs: float,
+    code_len: float,
+    lock_threshold: float,
+    max_lost: int,
+    pll_c1: float,
+    pll_c2: float,
+    dll_c1: float,
+    dll_c2: float,
+    el_shift: int,
+    aiding_scale: float,
+    if_freq: float,
+    lock_mode: str,
+    costas_thr: float,
+    interp: bool,
+    ablate: str,
+):
+    """Two K-epoch supersteps per grid step, per-channel double-buffered
+    window DMA straight from the shared stream.
+
+    Superstep j covers epochs [jK, (j+1)K); its per-channel copy starts
+    at a_c + floor(jK n0 / 128)*128 (128-aligned: a sum of the host's
+    aligned a_c and an aligned step). Within the buffer, epoch e's
+    window is a STATIC slice at floor(e n0 / 128)*128; the three
+    alignment residues (rem_c0 from a_c — carried in state col 9 and
+    the replica lane_shift — plus the static rem_e and the dynamic
+    rem_j) shift the epoch mask and roll the replica, exactly the seg
+    kernel's mechanism. All slot/semaphore indices are static (Mosaic
+    constraint); the C copies of a slot share one semaphore per
+    component and are drained by C waits of equal amounts.
+    """
+    u = pl.program_id(0)
+    n_u = pl.num_programs(0)
+    kk = k_epochs * n0
+
+    def copies(j, wr, wi, slot):
+        off = (j * kk // 128) * 128
+        cps = []
+        for c in range(c_channels):
+            a = pl.multiple_of(starts_ref[c] + off, 128)
+            cps.append(pltpu.make_async_copy(
+                stream_re_ref.at[0:1, pl.ds(a, span)], wr.at[c],
+                sems.at[slot, 0]))
+            cps.append(pltpu.make_async_copy(
+                stream_im_ref.at[0:1, pl.ds(a, span)], wi.at[c],
+                sems.at[slot, 1]))
+        return cps
+
+    def issue(j, wr, wi, slot):
+        for cp in copies(j, wr, wi, slot):
+            cp.start()
+
+    def drain(j, wr, wi, slot):
+        for cp in copies(j, wr, wi, slot):
+            cp.wait()
+
+    @pl.when(u == 0)
+    def _():
+        state[:] = state_in_ref[:]
+        issue(0, w0r, w0i, 0)
+
+    j0 = 2 * u
+    j1 = 2 * u + 1
+    issue(j1, w1r, w1i, 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(
+        jnp.float32)
+
+    def run_k(st, j, wr, wi, telem_base):
+        rem_j = j * kk - (j * kk // 128) * 128          # dynamic [0,128)
+        for e in range(k_epochs):
+            a_e = (e * n0 // 128) * 128                 # static
+            rem_e = e * n0 - a_e                        # static
+            wre = wr[:, 0, a_e:a_e + wp]
+            wim = wi[:, 0, a_e:a_e + wp]
+            rem_i = rem_e + rem_j
+            start_lane = (st[:, 9:10] + st[:, 8:9]
+                          + jnp.float32(rem_e)
+                          + rem_j.astype(jnp.float32))
+            st, telem_row, _ = _epoch_core(
+                st, wre, wim, reps_ref, start_lane, rem_i, lane,
+                n_drift=n_drift, wp=wp, fs=fs, code_len=code_len,
+                lock_threshold=lock_threshold, max_lost=max_lost,
+                pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1,
+                dll_c2=dll_c2, el_shift=el_shift,
+                aiding_scale=aiding_scale, if_freq=if_freq,
+                lock_mode=lock_mode, costas_thr=costas_thr,
+                interp=interp, ablate=ablate, n0=n0,
+            )
+            telem_ref[telem_base + e] = telem_row
+        return st
+
+    drain(j0, w0r, w0i, 0)
+    st = run_k(state[:, :], j0, w0r, w0i, 0)
+
+    @pl.when(u + 1 < n_u)
+    def _():
+        issue(j0 + 2, w0r, w0i, 0)
+
+    drain(j1, w1r, w1i, 1)
+    st = run_k(st, j1, w1r, w1i, k_epochs)
+    state[:] = st
+
+    @pl.when(u == n_u - 1)
+    def _():
+        state_out_ref[:] = st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
+        "lock_threshold", "max_lost", "pll_c1", "pll_c2", "dll_c1",
+        "dll_c2", "el_shift", "interpret", "aiding_scale", "if_freq",
+        "lock_mode", "costas_thr", "interp", "ablate",
+    ),
+)
+def track_block_fused_direct(
+    stream_re: jax.Array,    # [L] ONE shared sample stream
+    stream_im: jax.Array,    # [L]
+    starts: jax.Array,       # [C] int32 128-aligned per-channel a_c
+    replicas: jax.Array,     # [C, n_drift, WP] (build_replicas w/
+    state_in: jax.Array,     # lane_shift=rem_c0)   [C, 128] f32
+    *,
+    t_epochs: int,
+    k_epochs: int,
+    n0: int,
+    wp: int,                 # >= n0 + el_pad + 3*127 + drift margin
+    fs: float,
+    code_len: float = 1023.0,
+    lock_threshold: float = 15.0,
+    max_lost: int = 20,
+    pll_c1: float = 0.0,
+    pll_c2: float = 0.0,
+    dll_c1: float = 0.0,
+    dll_c2: float = 0.0,
+    el_shift: int = 1,
+    interpret: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
+    ablate: str = "",
+):
+    """DIRECT-layout fused tracking: T epochs, ONE kernel launch,
+    per-channel windows DMA'd straight from the shared stream with a
+    double-buffered K-epoch superstep pipeline.
+
+    Removes BOTH costs of the seg layout: the up-front per-channel
+    segment materialization (gather_segments — measured 2.5 ms/signal-s
+    of pure HBM duplication on a v5e) and the unoverlapped per-epoch
+    window fetch (the seg kernel idles for the full HBM latency every
+    grid step). HBM read traffic drops ~3x (one read per consumed
+    sample per channel, no segment writeback) and the fetch of
+    superstep j+1 overlaps the compute of superstep j. Requires
+    ``t_epochs % (2 * k_epochs) == 0`` (see choose_k) and the same
+    state columns as the seg layout (col 9 = el_pad + rem_c0, col 12 =
+    a_c consumed by the caller, col 13 = anchor). Returns
+    (telemetry [T, C, 128], state_out [C, 128]) identical to
+    track_block_fused.
+    """
+    c_channels = state_in.shape[0]
+    n_drift = replicas.shape[1]
+    if t_epochs % (2 * k_epochs):
+        raise ValueError(
+            f"t_epochs={t_epochs} not divisible by 2*k_epochs="
+            f"{2 * k_epochs}")
+    n_u = t_epochs // (2 * k_epochs)
+    span = direct_span(k_epochs, n0, wp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_u,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2 * k_epochs, c_channels, N_FIELDS),
+                         lambda u, s: (u, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _direct_kernel,
+            c_channels=c_channels, k_epochs=k_epochs, n_drift=n_drift,
+            wp=wp, span=span, n0=n0, fs=fs, code_len=code_len,
+            lock_threshold=lock_threshold, max_lost=max_lost,
+            pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+            el_shift=el_shift, aiding_scale=aiding_scale,
+            if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
+            interp=interp, ablate=ablate,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((c_channels, N_FIELDS), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, stream_re.reshape(1, -1), stream_im.reshape(1, -1),
+      replicas, state_in)
 
 
 def gather_segments(block_re, block_im, starts, l_seg: int, *,

@@ -52,22 +52,29 @@ class FusedTracker:
     """Per-receiver instance wrapping the jitted fused block step.
 
     ``layout`` selects the window feed:
-      * "seg" (default) — per-channel HBM segments via the in-kernel
-        DMA path (gather_segments + track_block_fused_seg): no XLA
-        window materialization, the fast path on real TPUs.
+      * "direct" (default when it applies) — per-channel double-
+        buffered in-kernel DMA straight from the shared stream
+        (track_block_fused_direct): no segment materialization at all,
+        ~3x less HBM traffic than "seg", fetch overlaps compute.
+        Requires t_epochs % (2K) == 0 for some K (fused.choose_k).
+      * "seg" — per-channel HBM segments via gather_segments +
+        track_block_fused_seg (no XLA window materialization).
       * "windows" — the original [T, C, WP] streamed layout
         (slice_windows + track_block_fused), kept for A/B benching.
-    Both produce identical telemetry/state (tests/test_fused_kernel.py).
+    All produce identical telemetry/state
+    (tests/test_fused_kernel.py::TestLayoutParity).
     """
 
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
                  spec: SignalSpec, fs_hz: float, codes_sampled,
-                 t_epochs: int, buf_len: int, layout: str = "seg"):
+                 t_epochs: int, buf_len: int, layout: str = "direct"):
         if cfg.lock_mode not in ("power", "costas"):
             raise ValueError(
                 f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
-        if layout not in ("seg", "windows"):
+        if layout not in ("direct", "seg", "windows"):
             raise ValueError(f"unknown fused layout {layout!r}")
+        if layout == "direct" and fused.choose_k(t_epochs) is None:
+            layout = "seg"          # odd t_epochs: no superstep pairing
         self.params = params
         self.spec = spec
         self.fs = fs_hz
@@ -75,13 +82,20 @@ class FusedTracker:
         self.t_epochs = t_epochs
         self.layout = layout
         # seg windows carry up to 127+127 extra lanes of alignment
-        # residue (rem_c0 + rem_t), hence the +256
-        extra = 256 if layout == "seg" else 0
+        # residue (rem_c0 + rem_t), hence the +256; direct adds the
+        # dynamic superstep residue rem_j on top (+384)
+        extra = {"direct": 384, "seg": 256, "windows": 0}[layout]
         self.wp = ((params.window + extra + 63 + 127) // 128) * 128
         self.half = (N_DRIFT - 1) // 2
         self.el_pad = params.el_shift + self.half
         self.codes_sampled = jnp.asarray(codes_sampled)
-        if layout == "seg":
+        if layout == "direct":
+            self.k_epochs = fused.choose_k(t_epochs)
+            # worst DMA read end: a_c + off_last + span
+            #   <= off + (T-1)*n0 + wp - el_pad  (fused_runner math)
+            self.max_offset = (buf_len - (t_epochs - 1) * self.n0
+                               - self.wp + self.el_pad - 1)
+        elif layout == "seg":
             self.l_seg = fused.seg_length(t_epochs, self.n0, self.wp)
             # gather reads [a_c, a_c + l_seg); a_c <= off - el_pad
             self.max_offset = buf_len - self.l_seg + self.el_pad - 1
@@ -89,17 +103,21 @@ class FusedTracker:
             # last offset that still fits T+1 nominal epochs + window
             self.max_offset = buf_len - (t_epochs * self.n0 + self.wp)
         if self.max_offset <= self.el_pad + self.n0:
-            need = (self.l_seg + self.n0 + 1 - self.el_pad
-                    if layout == "seg"
-                    else t_epochs * self.n0 + self.wp + self.n0)
+            if layout == "seg":
+                need = self.l_seg + self.n0 + 1 - self.el_pad
+            elif layout == "direct":
+                need = (t_epochs - 1) * self.n0 + self.wp + self.n0
+            else:
+                need = t_epochs * self.n0 + self.wp + self.n0
             raise ValueError(
                 f"buffer too short for fused tracking "
                 f"(layout={layout!r}): len={buf_len}, need > {need}")
-        if layout == "seg" and self.n0 <= self.el_pad + self.half + 128:
+        if (layout in ("seg", "direct")
+                and self.n0 <= self.el_pad + self.half + 128):
             # the kernel's lane_shift guard would only fire inside the
             # first jitted run_block; fail at construction instead
             raise ValueError(
-                f"n0={self.n0} too small for the seg fused layout "
+                f"n0={self.n0} too small for the {layout} fused layout "
                 f"(need > {self.el_pad + self.half + 128}); use "
                 "layout='windows'")
         p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
@@ -108,8 +126,9 @@ class FusedTracker:
         self.aiding_scale = (float(params.aiding_scale)
                              if cfg.carrier_aiding else 0.0)
         self.if_freq = float(params.if_freq_hz)
-        step_fn = (_fused_block_step_seg if layout == "seg"
-                   else _fused_block_step)
+        step_fn = {"direct": _fused_block_step_direct,
+                   "seg": _fused_block_step_seg,
+                   "windows": _fused_block_step}[layout]
         self._step = functools.partial(
             step_fn,
             t_epochs=t_epochs, n0=self.n0, wp=self.wp,
@@ -125,6 +144,10 @@ class FusedTracker:
         )
         if layout == "seg":
             self._step = functools.partial(self._step, l_seg=self.l_seg)
+        elif layout == "direct":
+            self._step = functools.partial(self._step,
+                                           k_epochs=self.k_epochs)
+        self._scan_fn = None      # built lazily by run_blocks
 
     # ------------------------------------------------------------------
     def run_block(self, state: trk.ChannelState, block_re, block_im,
@@ -187,10 +210,11 @@ class FusedTracker:
         # result downloads batch into ONE device_get round trip — each
         # separate transfer costs a full sync quantum on a remote
         # device transport (~30 ms on the tunneled session backend)
-        if self.layout == "seg":
-            # 128-aligned gather starts; the residue rem_c0 rides col 9
-            # (as el_pad + rem_c0 = off - a_c, the kernel's mask base)
-            # and shifts the replica anchor (build_replicas lane_shift)
+        if self.layout in ("seg", "direct"):
+            # 128-aligned gather/DMA starts; the residue rem_c0 rides
+            # col 9 (as el_pad + rem_c0 = off - a_c, the kernel's mask
+            # base) and shifts the replica anchor (build_replicas
+            # lane_shift)
             a_c = ((offset0 - self.el_pad) // 128) * 128
             a_c = np.where(eligible, np.maximum(a_c, 0), 0)
             mat[:, 9] = np.where(eligible, offset0 - a_c,
@@ -246,20 +270,29 @@ class FusedTracker:
             lock_ema=merge(state.lock_ema, mat_out[:, 11]),
         )
 
-        # ---- telemetry NamedTuple [T, C] -----------------------------
+        telem = self._telem_from(telem_m, offset0, epochs0, cp0)
+        return new_state, telem
+
+    # ------------------------------------------------------------------
+    def _telem_from(self, telem_m, offset0, epochs0, cp0
+                    ) -> trk.EpochTelemetry:
+        """EpochTelemetry [T, C] from one block's kernel telemetry and
+        the block-entry ledger snapshot (offsets post-walk, epoch
+        counts, chip phases)."""
+        processed = telem_m[:, :, 16] > 0.5           # [T, C]
         t_idx = np.arange(self.t_epochs, dtype=np.int64)[:, None]
-        start_offset = offset0[None, :] + t_idx * self.n0 \
-            + telem_m[:, :, 13].astype(np.int64)
-        epoch_index = epochs0[None, :] + np.cumsum(processed, axis=0) \
-            - processed
+        start_offset = offset0[None, :].astype(np.int64) \
+            + t_idx * self.n0 + telem_m[:, :, 13].astype(np.int64)
+        epoch_index = epochs0[None, :].astype(np.int64) \
+            + np.cumsum(processed, axis=0) - processed
         chip_phase = np.mod(cp0[None, :] + telem_m[:, :, 14],
                             float(self.spec.code_length_chips))
         # numpy-backed telemetry: the [T, C, 128] matrix was downloaded
-        # once above; wrapping fields back into device arrays would cost
+        # once; wrapping fields back into device arrays would cost
         # 17 re-uploads per block and 17 re-downloads in the host-side
         # telemetry/nav consumers (ruinous over a remote device
         # transport) for zero benefit — every consumer is numpy
-        telem = trk.EpochTelemetry(
+        return trk.EpochTelemetry(
             processed=processed,
             i_e=telem_m[:, :, 0],
             q_e=telem_m[:, :, 1],
@@ -278,7 +311,164 @@ class FusedTracker:
             epoch_index=epoch_index.astype(np.int32),
             chip_phase=chip_phase.astype(np.float32),
         )
-        return new_state, telem
+
+    # ------------------------------------------------------------------
+    # Multi-block device-resident scan: the per-block re-anchor runs
+    # IN-GRAPH, so the host syncs ONCE per n_blocks blocks.
+    # ------------------------------------------------------------------
+    def run_blocks(self, state: trk.ChannelState, stream_re, stream_im,
+                   codes_rows, n_blocks: int
+                   ) -> tuple[trk.ChannelState, list[trk.EpochTelemetry]]:
+        """Process ``n_blocks`` consecutive blocks in ONE device program.
+
+        ``stream_re``/``stream_im`` cover ``[history | n_blocks *
+        block]`` samples (history = the single-block window's history).
+        The cross-block ledger lives ON DEVICE inside a lax.scan —
+        chip phase as (int32 chips, f32 frac) so per-block rounding
+        stays ~2^-22 chips instead of compounding at the f32 ulp of the
+        full phase — and the exact u32 host ledger re-absorbs once at
+        the end. Telemetry for all blocks downloads in ONE device_get.
+
+        Block b's telemetry offsets are relative to window b (global
+        start advances by one block per b); the returned state's
+        offsets are already rebased past the whole span (the caller
+        must NOT rebase again).
+        """
+        if self.layout != "direct":
+            raise ValueError("run_blocks requires layout='direct'")
+        if self._scan_fn is None:
+            self._scan_fn = self._make_scan()
+        rate = np.asarray(state.code_rate).astype(np.float32)
+        fcols = np.stack([
+            np.asarray(state.carr_freq, dtype=np.float32),
+            (np.asarray(state.carr_acc).astype(np.float64)
+             / _U32).astype(np.float32),
+            np.asarray(state.carr_err, dtype=np.float32),
+            np.where(rate > 0, rate, np.float32(self.spec.code_rate_hz)),
+            np.asarray(state.code_err, dtype=np.float32),
+            np.asarray(state.lost_count, dtype=np.float32),
+            np.asarray(state.lock_ema, dtype=np.float32),
+        ], axis=1)                                     # [C, 7]
+        led0 = (
+            jnp.asarray(np.asarray(state.active).astype(np.float32)),
+            jnp.asarray(np.asarray(state.offset).astype(np.int32)),
+            jnp.asarray(np.asarray(state.epochs).astype(np.int32)),
+            jnp.asarray(np.asarray(state.chip_int).astype(np.int32)),
+            jnp.asarray((np.asarray(state.chip_frac_u32)
+                         .astype(np.float64) / _U32).astype(np.float32)),
+            jnp.asarray(fcols),
+        )
+        led_f, ys = jax.device_get(self._scan_fn(
+            jnp.asarray(stream_re), jnp.asarray(stream_im),
+            codes_rows, led0, n_blocks))
+        telems_m, aux_off, aux_ep, aux_ci, aux_cf = ys
+        telems = []
+        for b in range(n_blocks):
+            cp0 = aux_ci[b].astype(np.float64) + aux_cf[b]
+            telems.append(self._telem_from(
+                telems_m[b], aux_off[b].astype(np.int64),
+                aux_ep[b].astype(np.int64), cp0))
+        active_f, offset_f, epochs_f, ci_f, cf_f, fc_f = led_f
+        new_state = state._replace(
+            active=active_f > 0.5,
+            offset=offset_f.astype(np.int32),
+            epochs=epochs_f.astype(np.int32),
+            lost_count=fc_f[:, 5].astype(np.int32),
+            carr_freq=fc_f[:, 0].astype(np.float32),
+            carr_acc=np.minimum(
+                fc_f[:, 1].astype(np.float64) * _U32, _U32 - 1.0
+            ).astype(np.uint32),
+            carr_err=fc_f[:, 2].astype(np.float32),
+            code_rate=fc_f[:, 3].astype(np.float32),
+            chip_int=ci_f.astype(np.int32),
+            chip_frac_u32=np.minimum(
+                cf_f.astype(np.float64) * _U32, _U32 - 1.0
+            ).astype(np.uint32),
+            code_err=fc_f[:, 4].astype(np.float32),
+            lock_ema=fc_f[:, 6].astype(np.float32),
+        )
+        return new_state, telems
+
+    def _make_scan(self):
+        """jitted (stream, codes, ledger, n_blocks) -> (ledger', ys):
+        the in-graph mirror of run_block's host re-anchor + absorb."""
+        n0 = self.n0
+        n0_f = np.float32(n0)
+        el_pad = self.el_pad
+        block_len = self.t_epochs * n0
+        max_off = self.max_offset
+        code_len_i = int(self.spec.code_length_chips)
+        fs_f = np.float32(self.fs)
+        aid = np.float32(self.aiding_scale)
+        iff = np.float32(self.if_freq)
+        step = self._step
+
+        @functools.partial(jax.jit, static_argnames=("n_blocks",))
+        def scan_fn(stream_re, stream_im, codes_rows, led0, n_blocks):
+            def body(led, b):
+                active, offset, epochs, ci, cf, fc = led
+                act = active > 0.5
+                # offset-walk wrap + eligibility (run_block's rules)
+                low = jnp.logical_and(act, offset < el_pad)
+                offset_w = jnp.where(low, offset + n0, offset)
+                eligible = jnp.logical_and(act, offset_w <= max_off)
+                # block-start anchor in the kernel's EXACT f32
+                # arithmetic (see run_block's frac0 commentary)
+                rate = fc[:, 3]
+                rate_eff = rate + (fc[:, 0] - iff) * aid
+                dc0 = rate_eff / fs_f
+                cp0 = ci.astype(jnp.float32) + cf
+                s_anchor = jnp.floor(cp0 / dc0)
+                frac0 = cp0 - s_anchor * dc0
+                anchor = s_anchor - jnp.floor(s_anchor / n0_f) * n0_f
+                # absolute DMA starts for block b (outside the f32
+                # state columns: they can exceed 2^24 on long streams)
+                off_abs = offset_w + b * block_len
+                a_abs = jnp.where(
+                    eligible,
+                    jnp.maximum(((off_abs - el_pad) >> 7) << 7, 0), 0)
+                col9 = jnp.where(eligible,
+                                 (off_abs - a_abs).astype(jnp.float32),
+                                 jnp.float32(el_pad))
+                zero = jnp.zeros_like(rate)
+                cols = jnp.stack([
+                    fc[:, 0], fc[:, 1], fc[:, 2], rate, zero, fc[:, 4],
+                    fc[:, 5], eligible.astype(jnp.float32), zero, col9,
+                    frac0, fc[:, 6], zero, anchor], axis=1)
+                mat = jnp.pad(cols, ((0, 0), (0, fused.N_FIELDS - 14)))
+                telem_m, mat_out = step(stream_re, stream_im,
+                                        codes_rows, mat, a_abs)
+                # ---- in-graph absorb (run_block's numpy, in jnp) ----
+                delta = mat_out[:, 4]
+                s = cf + delta                  # |cf|<1, |delta|<~4:
+                k = jnp.floor(s)                # f32-exact carry split
+                cf_n = jnp.where(eligible, s - k, cf)
+                ci_raw = ci + k.astype(jnp.int32)
+                ci_wrap = jnp.where(
+                    ci_raw < 0, ci_raw + code_len_i,
+                    jnp.where(ci_raw >= code_len_i,
+                              ci_raw - code_len_i, ci_raw))
+                ci_n = jnp.where(eligible, ci_wrap, ci)
+                processed = telem_m[:, :, 16] > 0.5
+                n_proc = processed.astype(jnp.int32).sum(axis=0)
+                epochs_n = jnp.where(eligible, epochs + n_proc, epochs)
+                # rebase folded in: eligible offsets advance by
+                # T*n0 + drift then rebase by -block_len (= T*n0)
+                offset_n = jnp.where(
+                    eligible, offset_w + mat_out[:, 8].astype(jnp.int32),
+                    offset_w - block_len)
+                active_n = jnp.where(eligible, mat_out[:, 7] > 0.5, act)
+                fc_n = jnp.where(eligible[:, None], jnp.stack([
+                    mat_out[:, 0],
+                    mat_out[:, 1] - jnp.floor(mat_out[:, 1]),
+                    mat_out[:, 2], mat_out[:, 3], mat_out[:, 5],
+                    mat_out[:, 6], mat_out[:, 11]], axis=1), fc)
+                led_n = (active_n.astype(jnp.float32), offset_n,
+                         epochs_n, ci_n, cf_n, fc_n)
+                return led_n, (telem_m, offset_w, epochs, ci, cf)
+            return jax.lax.scan(body, led0,
+                                jnp.arange(n_blocks, dtype=jnp.int32))
+        return scan_fn
 
 
 @functools.partial(
@@ -353,6 +543,55 @@ def _fused_block_step_seg(block_re, block_im,
     telem, st = fused.track_block_fused_seg(
         seg_re, seg_im, reps, state_mat, t_epochs=t_epochs, n0=n0,
         wp=wp, fs=fs, code_len=code_len,
+        lock_threshold=lock_threshold, max_lost=max_lost,
+        pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+        el_shift=el_shift,
+        aiding_scale=aiding_scale, if_freq=if_freq, lock_mode=lock_mode,
+        costas_thr=costas_thr, interp=interp,
+        interpret=interpret,
+    )
+    return telem[:, :, :N_TELEM_COLS], st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_epochs", "n0", "wp", "el_pad", "el_shift", "fs",
+                     "code_len", "lock_threshold", "max_lost",
+                     "pll_c1", "pll_c2", "dll_c1", "dll_c2",
+                     "aiding_scale", "if_freq", "lock_mode",
+                     "costas_thr", "interp", "k_epochs"),
+)
+def _fused_block_step_direct(block_re, block_im,
+                             codes_rows, state_mat, starts=None, *,
+                             t_epochs, n0, wp,
+                             el_pad, el_shift, fs, code_len,
+                             lock_threshold, max_lost,
+                             pll_c1, pll_c2, dll_c1, dll_c2,
+                             aiding_scale=0.0, if_freq=0.0,
+                             lock_mode="power", costas_thr=0.4,
+                             interp=False, k_epochs=1):
+    """DIRECT-layout block step: the kernel DMAs each channel's windows
+    straight from the shared stream (double-buffered K-epoch
+    supersteps) — no gather_segments materialization, ~3x less HBM
+    traffic than the seg layout and the fetch overlaps compute
+    (ops/pallas/track_block_fused.py::track_block_fused_direct).
+
+    ``starts`` ([C] int32, optional) overrides the a_c DMA starts in
+    state col 12 — the multi-block scan runner passes absolute stream
+    positions that can exceed the f32-exact integer range (2^24) the
+    state columns are limited to."""
+    interpret = jax.default_backend() == "cpu"
+    if starts is None:
+        starts = state_mat[:, 12].astype(jnp.int32)    # a_c, 128-aligned
+    anchor = state_mat[:, 13].astype(jnp.int32)
+    rem_c0 = (state_mat[:, 9] - jnp.float32(el_pad)).astype(jnp.int32)
+    reps = fused.build_replicas(codes_rows, None, None, el_shift,
+                                n0, wp, n_drift=N_DRIFT, anchor=anchor,
+                                lane_shift=rem_c0)
+    telem, st = fused.track_block_fused_direct(
+        block_re, block_im, starts, reps, state_mat,
+        t_epochs=t_epochs, k_epochs=k_epochs, n0=n0, wp=wp, fs=fs,
+        code_len=code_len,
         lock_threshold=lock_threshold, max_lost=max_lost,
         pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
         el_shift=el_shift,

@@ -203,16 +203,17 @@ def make_sampled_code_table(
 
     n0 = spec.samples_per_code(fs_hz)
     w = window or (n0 + 64)
-    # margin 512, NOT 64: the fused path's build_replicas slices up to
+    # margin 768, NOT 64: the fused path's build_replicas slices up to
     # 2*n0 + wp - el_shift where wp is the window rounded UP to a
-    # multiple of 128 after a +63 drift margin (up to window + 190,
+    # multiple of 128 after a +63 drift margin (up to window + 190;
     # +256 more in the seg layout whose windows absorb the 128-
-    # alignment residues) — with a short margin the slice silently
-    # clamps for code phases anchored in the last samples of the
-    # period, handing the kernel a misaligned replica for the entire
-    # block (observed as a whole-block power collapse when the chip
-    # ledger crossed the period wrap)
-    need = 2 * n0 + w + 512
+    # alignment residues, +384 in the direct layout which adds the
+    # dynamic superstep residue) — with a short margin the slice
+    # silently clamps for code phases anchored in the last samples of
+    # the period, handing the kernel a misaligned replica for the
+    # entire block (observed as a whole-block power collapse when the
+    # chip ledger crossed the period wrap)
+    need = 2 * n0 + w + 768
     reps = int(np.ceil(need / n0)) + 1
     rows = []
     for p in range(1, (n_prn or spec.n_prn) + 1):

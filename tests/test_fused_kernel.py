@@ -148,6 +148,70 @@ class TestSharedStreamPath:
         assert np.abs(np.asarray(s1)[:, :9]
                       - np.asarray(s2)[:, :9]).max() < 0.1
 
+    def test_layout_parity_windows_seg_direct(self):
+        """The three FusedTracker window feeds ('windows' XLA slices,
+        'seg' gathered segments, 'direct' in-kernel per-channel DMA)
+        must produce identical telemetry and state through the FULL
+        runner path (re-anchor + kernel + absorb) for unaligned
+        offsets (offset % 128 != 0 AND n0 % 128 != 0) — the rem_c0 /
+        rem_e / rem_j lane bookkeeping is exactly where an off-by-one
+        would hide."""
+        from gnss_sdr_tpu.receiver import fused_runner as fr
+
+        C, T = 4, 40
+        cfg = TrackConfig(n_channels=C, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
+                                              window=params.window)
+        codes_rows = jnp.asarray(np.asarray(codes_s)[
+            np.arange(C) % 32])
+        rng = np.random.default_rng(11)
+        buf_len = (T + 4) * N0 + 8192
+        sig = synthesize(
+            [SatelliteScenario(prn=p + 1, doppler_hz=900.0 + 130.0 * p)
+             for p in range(C)],
+            buf_len, FS, noise_std=0.3, seed=2)
+        bre = jnp.asarray(np.real(sig), jnp.float32)
+        bim = jnp.asarray(np.imag(sig), jnp.float32)
+
+        def mk_state():
+            st = trk.init_state(C)
+            for ch in range(C):
+                # offsets deliberately NOT 128-aligned
+                st = trk.start_channel(
+                    st, ch, ch % 32, 900.0 + 130.0 * ch,
+                    N0 + 37 + 101 * ch, GPS_L1CA.code_rate_hz)
+            return st
+
+        results = {}
+        for layout in ("windows", "seg", "direct"):
+            ft = fr.FusedTracker(params, cfg, GPS_L1CA, FS, codes_s,
+                                 T, buf_len, layout=layout)
+            assert ft.layout == layout
+            st, telem = ft.run_block(mk_state(), bre, bim, codes_rows)
+            results[layout] = (st, telem)
+
+        ref_st, ref_t = results["windows"]
+        for layout in ("seg", "direct"):
+            st, t = results[layout]
+            for f in ("i_e", "q_e", "i_p", "q_p", "i_l", "q_l",
+                      "power", "pll_err", "dll_err", "carr_freq",
+                      "code_rate", "chip_phase"):
+                a, b = getattr(ref_t, f), getattr(t, f)
+                np.testing.assert_allclose(
+                    b, a, rtol=2e-5, atol=2e-4 * max(
+                        1.0, np.abs(a).max()),
+                    err_msg=f"{layout}: telemetry field {f}")
+            assert np.array_equal(ref_t.processed, t.processed)
+            assert np.array_equal(ref_t.start_offset, t.start_offset)
+            for f in ("offset", "epochs", "chip_int", "active"):
+                np.testing.assert_array_equal(
+                    getattr(ref_st, f), getattr(st, f),
+                    err_msg=f"{layout}: state field {f}")
+            np.testing.assert_allclose(
+                st.carr_freq, ref_st.carr_freq, rtol=1e-5,
+                err_msg=f"{layout}: state carr_freq")
+
     def test_unaligned_n0_matches_streamed_windows(self):
         """The resident kernel generalized to n0 % 128 != 0 (aligned-
         floor slice + remainder lane shift + dynamic replica roll) must

@@ -63,7 +63,7 @@ def main():
         mat[:, 0] = 1000.0
         mat[:, 3] = spec.code_rate_hz
         mat[:, 7] = 1.0
-        if layout == "seg":
+        if layout in ("seg", "direct"):
             a_c = ((offset0 - ft.el_pad) // 128) * 128
             mat[:, 9] = (offset0 - a_c).astype(np.float32)
             mat[:, 12] = a_c.astype(np.float32)
@@ -89,7 +89,7 @@ def main():
 
     results = {}
 
-    for layout in ("windows", "seg"):
+    for layout in ("windows", "seg", "direct"):
         if layout in skip:
             continue
         ft = fr.FusedTracker(params, cfg, spec, fs, codes_s, T,
