@@ -3,6 +3,7 @@ from .sharding import (  # noqa: F401
     TIME_AXIS,
     make_mesh,
     shard_channel_state,
+    shard_fused_step,
     sharded_pcps_search,
     sharded_track_block,
     time_sharded_pcps_search,

@@ -65,6 +65,45 @@ def shard_channel_state(mesh: Mesh, state: trk.ChannelState) -> trk.ChannelState
     return jax.tree.map(lambda x: jax.device_put(x, sh), state)
 
 
+def shard_fused_step(mesh: Mesh, step_fn):
+    """A FusedTracker block step under ``shard_map``: channels sharded
+    over the mesh's channel axis, the sample stream replicated.
+
+    Each device runs the fused pallas kernel on its own channel rows —
+    zero steady-state collectives, the fused analogue of
+    ``sharded_track_block`` (reference scales the same axis with a
+    rayon pool, do_tracking.rs:364-371). Works for every fused layout:
+    the per-channel DMA starts (direct), gather starts (seg), and
+    window offsets (windows) all ride channel-sharded operands.
+
+    Returns a callable with the step's signature
+    ``(block_re, block_im, codes_rows, state_mat[, starts])``.
+    """
+    chn = P(CHANNEL_AXIS, None)
+    rep = P()
+    out = (P(None, CHANNEL_AXIS, None), chn)   # telem [T,C,cols], state
+    # check_vma=False: pallas_call outputs carry no varying-axis
+    # annotation, so the static checker cannot see that every output is
+    # channel-shard-local. The invariant is ASSERTED instead:
+    # tests/test_parallel.py::TestFusedOnMesh proves 4-device output
+    # bit-identical to 1-device for both run_block and run_blocks.
+    f4 = jax.shard_map(
+        lambda br, bi, cr, st: step_fn(br, bi, cr, st),
+        mesh=mesh, in_specs=(rep, rep, chn, chn), out_specs=out,
+        check_vma=False)
+    f5 = jax.shard_map(
+        lambda br, bi, cr, st, s: step_fn(br, bi, cr, st, s),
+        mesh=mesh, in_specs=(rep, rep, chn, chn, P(CHANNEL_AXIS)),
+        out_specs=out, check_vma=False)
+
+    def call(block_re, block_im, codes_rows, state_mat, starts=None):
+        if starts is None:
+            return f4(block_re, block_im, codes_rows, state_mat)
+        return f5(block_re, block_im, codes_rows, state_mat, starts)
+
+    return call
+
+
 def sharded_track_block(
     mesh: Mesh,
     params: trk.TrackParams,

@@ -67,7 +67,8 @@ class FusedTracker:
 
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
                  spec: SignalSpec, fs_hz: float, codes_sampled,
-                 t_epochs: int, buf_len: int, layout: str = "direct"):
+                 t_epochs: int, buf_len: int, layout: str = "direct",
+                 mesh=None):
         if cfg.lock_mode not in ("power", "costas"):
             raise ValueError(
                 f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
@@ -147,6 +148,19 @@ class FusedTracker:
         elif layout == "direct":
             self._step = functools.partial(self._step,
                                            k_epochs=self.k_epochs)
+        if mesh is not None:
+            # channel-shard the kernel over the mesh: each device runs
+            # the pallas step on its own channel rows (zero collectives)
+            from .. import parallel as par_mod
+
+            n_ch_axis = dict(zip(mesh.axis_names, mesh.devices.shape)
+                             ).get(par_mod.CHANNEL_AXIS, 1)
+            if cfg.n_channels % n_ch_axis:
+                raise ValueError(
+                    f"n_channels={cfg.n_channels} not divisible by the "
+                    f"mesh channel axis ({n_ch_axis})")
+            self._step = par_mod.shard_fused_step(mesh, self._step)
+        self.mesh = mesh
         self._scan_fn = None      # built lazily by run_blocks
 
     # ------------------------------------------------------------------

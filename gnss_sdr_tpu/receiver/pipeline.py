@@ -150,16 +150,14 @@ class Receiver:
             self.window = DeviceStreamWindow(self.history, self.block)
         self.fused = None
         if cfg.track.correlator == "fused":
-            if self.mesh is not None:
-                raise ValueError(
-                    "correlator='fused' does not compose with a device "
-                    "mesh yet; use channel sharding with 'slice'")
             from .fused_runner import FusedTracker
 
+            # a mesh channel-shards the fused kernel (shard_fused_step:
+            # each device tracks its own channel rows, zero collectives)
             self.fused = FusedTracker(
                 self.params, cfg.track, self.spec, self.fs,
                 self.codes_full, self.epochs_per_block,
-                self.history + self.block,
+                self.history + self.block, mesh=self.mesh,
             )
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
         self.scheduler = SearchScheduler(cfg.acq)
@@ -263,8 +261,11 @@ class Receiver:
             pulled = self._pull_block()
             if pulled is None:
                 return False
-            samples, n_valid = pulled
-            n_fresh = self.window.advance(samples)
+        samples, n_valid = pulled
+        return self._process_block(samples, n_valid)
+
+    def _process_block(self, samples, n_valid) -> bool:
+        n_fresh = self.window.advance(samples)
         if n_fresh is None:
             return False
         self.time_ms += self.cfg.block_ms
@@ -278,15 +279,7 @@ class Receiver:
 
         # one scan over the block for all channels (+1 catch-up epoch)
         with self.timers.stage("track", self.block):
-            # per-channel replica rows change only on channel
-            # (re)assignment: rebuilding every block costs a device
-            # gather per block (serialized on some backends)
-            key = tuple(np.asarray(self.state.prn_idx).tolist())
-            if key != self._codes_key:
-                self._codes_key = key
-                self._codes_ch = self.codes_full[
-                    jnp.maximum(self.state.prn_idx, 0)]
-            codes_ch = self._codes_ch
+            codes_ch = self._codes_for_state()
             re = self.window.re
             im = self.window.im
             if self.fused is not None and n_valid == self.block:
@@ -332,6 +325,97 @@ class Receiver:
         self._emit_observables()
         self.state = trk.rebase(self.state, self.block)
         return True
+
+    # ------------------------------------------------------------------
+    def _codes_for_state(self):
+        """Per-channel replica rows, cached on channel (re)assignment:
+        rebuilding every block costs a device gather per block
+        (serialized on some backends)."""
+        key = tuple(np.asarray(self.state.prn_idx).tolist())
+        if key != self._codes_key:
+            self._codes_key = key
+            self._codes_ch = self.codes_full[
+                jnp.maximum(self.state.prn_idx, 0)]
+        return self._codes_ch
+
+    # ------------------------------------------------------------------
+    def step_scan(self, k: int) -> int:
+        """Process up to ``k`` blocks in ONE device program.
+
+        Uses FusedTracker.run_blocks (the in-graph multi-block scan):
+        the host syncs once per span instead of once per block — the
+        steady-state answer to the per-block round-trip cost over a
+        remote device transport. Acquisition never runs inside a span;
+        ``run(scan_blocks=...)`` schedules spans strictly between due
+        searches. Partial tail blocks fall back to the single-block
+        path. Returns the number of blocks processed (0 at
+        end-of-stream).
+        """
+        full, tail = [], None
+        for _ in range(k):
+            with self.timers.stage("ingest", self.block * self.decim):
+                pulled = self._pull_block()
+            if pulled is None:
+                break
+            samples, n_valid = pulled
+            if n_valid == self.block:
+                full.append(samples)
+            else:
+                tail = (samples, n_valid)
+                break
+        done = 0
+        if len(full) >= 2:
+            done += self._process_span(full)
+        else:
+            for s in full:
+                if self._process_block(s, self.block):
+                    done += 1
+        if tail is not None and self._process_block(*tail):
+            done += 1
+        return done
+
+    def _process_span(self, blocks: list) -> int:
+        """Run ``len(blocks)`` full fresh blocks through the fused
+        multi-block scan; mirrors the per-block bookkeeping of
+        _process_block (telemetry, nav, lifecycle) from the one
+        downloaded span."""
+        k = len(blocks)
+        g0 = self.window.global_start
+        with self.timers.stage("track", self.block * k):
+            parts_re = [self.window.re[self.block:]]
+            parts_im = [self.window.im[self.block:]]
+            for re, im in blocks:
+                parts_re.append(jnp.asarray(re))
+                parts_im.append(jnp.asarray(im))
+            stream_re = jnp.concatenate(parts_re)
+            stream_im = jnp.concatenate(parts_im)
+            self.state, telems = self.fused.run_blocks(
+                self.state, stream_re, stream_im,
+                self._codes_for_state(), k)
+            # window rolls past the whole span (state offsets come back
+            # already rebased — no trk.rebase here)
+            keep = self.history + self.block
+            self.window.load(stream_re[-keep:], stream_im[-keep:])
+            self.window.global_start = g0 + k * self.block
+            self.window.blocks_fed += k
+        self.time_ms += k * self.cfg.block_ms
+
+        with self.timers.stage("nav", self.block * k):
+            for b, telem in enumerate(telems):
+                gs = g0 + (b + 1) * self.block
+                self.telemetry.append_block(telem, gs)
+                if self.cfg.pvt.enable:
+                    self.nav.feed_block(telem, gs)
+                lost = np.asarray(telem.lost_event).any(axis=0)
+                if lost.any():
+                    for prn, ch in list(self.active.items()):
+                        if lost[ch]:
+                            del self.active[prn]
+                            self.telemetry.close_channel(ch)
+                            self.nav.close_channel(ch)
+        self.scheduler.update_mode(len(self.active))
+        self._emit_observables()
+        return k
 
     # ------------------------------------------------------------------
     def enable_observables(
@@ -406,12 +490,47 @@ class Receiver:
             self._obs_last_update_ms = self.time_ms
 
     def run(self, max_blocks: Optional[int] = None,
-            on_block=None) -> dict:
+            on_block=None, scan_blocks: int = 1) -> dict:
         """Drive the stream; ``on_block(receiver)`` fires after every
-        processed block (live views, progress hooks — utils/live.py)."""
+        processed block or span (live views, progress hooks —
+        utils/live.py).
+
+        ``scan_blocks > 1`` enables the device-resident steady state:
+        once the constellation is in steady search mode, spans of that
+        many blocks run as ONE device program (step_scan) — one host
+        sync per span instead of per block — and paced re-searches run
+        at span boundaries (steady pacing rounds up to the span length;
+        the span is the scan path's scheduling quantum). Cold and warm
+        starts (scheduler not in steady mode) keep single-block steps,
+        so acquisition latency and TTFF are unaffected.
+        """
+        from .acquisition import SearchMode
+
         blocks = 0
-        while (max_blocks is None or blocks < max_blocks) and self.step():
-            blocks += 1
+        can_scan = (scan_blocks > 1 and self.fused is not None
+                    and self.fused.layout == "direct")
+        while max_blocks is None or blocks < max_blocks:
+            k = 1
+            if can_scan and self.scheduler.mode == SearchMode.STEADY:
+                k = scan_blocks
+                if max_blocks is not None:
+                    k = min(k, max_blocks - blocks)
+            if k > 1:
+                done = self.step_scan(k)
+                if done == 0:
+                    break
+                blocks += done
+                # paced re-search at the span boundary (the in-span
+                # blocks are search-free by construction)
+                have_enough = (self.window.blocks_fed * self.block
+                               >= self.acq_len)
+                if have_enough and self.scheduler.due(self.time_ms):
+                    with self.timers.stage("acquire", self.acq_len):
+                        self._run_acquisition()
+            else:
+                if not self.step():
+                    break
+                blocks += 1
             if on_block is not None:
                 on_block(self)
         return self.summary()

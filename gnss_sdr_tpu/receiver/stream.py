@@ -297,8 +297,11 @@ class DeviceStreamWindow:
     def load(self, re, im) -> None:
         import jax.numpy as jnp
 
-        self.re = jnp.asarray(np.asarray(re, np.float32))
-        self.im = jnp.asarray(np.asarray(im, np.float32))
+        # device arrays pass straight through (the scan path reloads
+        # the window from a device-resident span every k blocks — a
+        # host round trip here would defeat it)
+        self.re = jnp.asarray(re, jnp.float32)
+        self.im = jnp.asarray(im, jnp.float32)
 
     def to_global(self, local_index: int) -> int:
         return self.global_start + local_index

@@ -99,6 +99,49 @@ class TestRunBlocks:
               - st_ref.chip_frac_u32.astype(np.float64)) / 2**32
         assert np.abs(df).max() < 1e-3
 
+    def test_receiver_scan_matches_per_block(self):
+        """Receiver.run(scan_blocks=4) must produce the same tracking
+        outcome as the per-block loop: same tracked set, same epoch
+        counts, matching Doppler and telemetry trace lengths."""
+        from gnss_sdr_tpu import ReceiverConfig, RfConfig, TrackConfig
+        from gnss_sdr_tpu.config import AcqConfig
+        from gnss_sdr_tpu.receiver import Receiver, SyntheticSource
+
+        FS2 = 2_046_000.0
+
+        def build():
+            src = SyntheticSource(
+                [SatelliteScenario(prn=5, doppler_hz=2100.0,
+                                   amplitude=0.35),
+                 SatelliteScenario(prn=9, doppler_hz=-1500.0,
+                                   amplitude=0.35)],
+                FS2, noise_std=1.0, seed=13)
+            return Receiver(ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=FS2),
+                # steady mode at 2 tracked so the scan path engages
+                acq=AcqConfig(steady_threshold=2),
+                track=TrackConfig(n_channels=4, correlator="fused"),
+                block_ms=20), src)
+
+        rx_a = build()
+        sum_a = rx_a.run(max_blocks=24)
+        rx_b = build()
+        sum_b = rx_b.run(max_blocks=24, scan_blocks=4)
+
+        assert sum_a["tracked_prns"] == sum_b["tracked_prns"] == [5, 9]
+        assert sum_b["blocks"] == sum_a["blocks"] == 24
+        # the scan path must actually have run: fewer track-stage calls
+        # than blocks (spans batch 4 blocks per call)
+        calls_b = sum_b["stage_timing"]["track"]["calls"]
+        assert calls_b < sum_a["stage_timing"]["track"]["calls"]
+        ch_a = {c["prn"]: c for c in sum_a["channels"]}
+        ch_b = {c["prn"]: c for c in sum_b["channels"]}
+        for prn in (5, 9):
+            assert ch_a[prn]["epochs"] == ch_b[prn]["epochs"]
+            assert abs(ch_a[prn]["last_doppler_hz"]
+                       - ch_b[prn]["last_doppler_hz"]) < 1.0
+            assert ch_b[prn]["locked_fraction"] > 0.95
+
     def test_deferred_channel_passes_through(self):
         """A channel whose offset exceeds max_offset must defer (state
         untouched that block) and catch up after the implicit rebase —

@@ -4,6 +4,7 @@ The determinism gate from BASELINE.md: 1-shard vs N-shard runs must
 produce (bit-)identical correlator outputs. The reference has no
 distributed story at all (SURVEY.md section 4 "no multi-node story").
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -229,3 +230,107 @@ class TestShardedReceiver:
                                parallel=ParallelConfig(channel_axis=4)),
                 ArraySource(np.zeros(4096, np.complex64), 2_048_000.0),
             )
+
+
+class TestFusedOnMesh:
+    def test_channel_sharded_fused_bit_identical(self):
+        """The fused (flagship) tracking step channel-sharded over a
+        4-device mesh must be BIT-IDENTICAL to the 1-device run — the
+        kernel is pure data parallelism over channels
+        (parallel.shard_fused_step)."""
+        from gnss_sdr_tpu.config import TrackConfig
+        from gnss_sdr_tpu.models import GPS_L1CA, SatelliteScenario, synthesize
+        from gnss_sdr_tpu.receiver import fused_runner as fr
+        from gnss_sdr_tpu.receiver import tracking as trk
+
+        fs = 2_046_000.0
+        n0 = GPS_L1CA.samples_per_code(fs)
+        C, T = 8, 40
+        cfg = TrackConfig(n_channels=C, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, fs)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, fs, 32,
+                                              window=params.window)
+        codes_rows = jnp.asarray(np.asarray(codes_s)[np.arange(C) % 32])
+        buf_len = (T + 4) * n0 + 8192
+        sig = synthesize(
+            [SatelliteScenario(prn=p + 1, doppler_hz=700.0 + 140.0 * p)
+             for p in range(C)],
+            buf_len, fs, noise_std=0.3, seed=6)
+        bre = jnp.asarray(np.real(sig), jnp.float32)
+        bim = jnp.asarray(np.imag(sig), jnp.float32)
+
+        def mk_state():
+            st = trk.init_state(C)
+            for ch in range(C):
+                st = trk.start_channel(
+                    st, ch, ch % 32, 700.0 + 140.0 * ch,
+                    n0 + 29 + 83 * ch, GPS_L1CA.code_rate_hz)
+            return st
+
+        ft1 = fr.FusedTracker(params, cfg, GPS_L1CA, fs, codes_s, T,
+                              buf_len, layout="direct")
+        st1, t1 = ft1.run_block(mk_state(), bre, bim, codes_rows)
+
+        mesh = parallel.make_mesh(n_time=1, n_channel=4)
+        ftm = fr.FusedTracker(params, cfg, GPS_L1CA, fs, codes_s, T,
+                              buf_len, layout="direct", mesh=mesh)
+        stm, tm = ftm.run_block(mk_state(), bre, bim, codes_rows)
+
+        for f in trk.EpochTelemetry._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t1, f)), np.asarray(getattr(tm, f)),
+                err_msg=f"telemetry field {f}")
+        for f in trk.ChannelState._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st1, f)), np.asarray(getattr(stm, f)),
+                err_msg=f"state field {f}")
+
+    def test_run_blocks_on_mesh(self):
+        """The multi-block scan composes with the channel-sharded step:
+        same results as the unsharded scan."""
+        from gnss_sdr_tpu.config import TrackConfig
+        from gnss_sdr_tpu.models import GPS_L1CA, SatelliteScenario, synthesize
+        from gnss_sdr_tpu.receiver import fused_runner as fr
+        from gnss_sdr_tpu.receiver import tracking as trk
+
+        fs = 2_046_000.0
+        n0 = GPS_L1CA.samples_per_code(fs)
+        C, T, B = 4, 20, 3
+        cfg = TrackConfig(n_channels=C, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, fs)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, fs, 32,
+                                              window=params.window)
+        codes_rows = jnp.asarray(np.asarray(codes_s)[np.arange(C) % 32])
+        block = T * n0
+        history = 2 * n0 + 4096
+        sig = synthesize(
+            [SatelliteScenario(prn=p + 1, doppler_hz=600.0 + 170.0 * p)
+             for p in range(C)],
+            history + B * block, fs, noise_std=0.3, seed=8)
+        sre = jnp.asarray(np.real(sig), jnp.float32)
+        sim = jnp.asarray(np.imag(sig), jnp.float32)
+
+        def mk_state():
+            st = trk.init_state(C)
+            for ch in range(C):
+                st = trk.start_channel(
+                    st, ch, ch % 32, 600.0 + 170.0 * ch,
+                    n0 + 41 + 77 * ch, GPS_L1CA.code_rate_hz)
+            return st
+
+        ft1 = fr.FusedTracker(params, cfg, GPS_L1CA, fs, codes_s, T,
+                              history + block, layout="direct")
+        st1, t1s = ft1.run_blocks(mk_state(), sre, sim, codes_rows, B)
+
+        mesh = parallel.make_mesh(n_time=1, n_channel=4)
+        ftm = fr.FusedTracker(params, cfg, GPS_L1CA, fs, codes_s, T,
+                              history + block, layout="direct",
+                              mesh=mesh)
+        stm, tms = ftm.run_blocks(mk_state(), sre, sim, codes_rows, B)
+
+        for b, (a, m) in enumerate(zip(t1s, tms)):
+            np.testing.assert_array_equal(
+                np.asarray(a.i_p), np.asarray(m.i_p),
+                err_msg=f"block {b}")
+        np.testing.assert_array_equal(st1.offset, stm.offset)
+        np.testing.assert_array_equal(st1.chip_int, stm.chip_int)
