@@ -158,6 +158,15 @@ def _epoch_core(
         # bound); mod-1 range reduction at the anchors also keeps the
         # arguments small (the naive ramp reaches ~1e3 cycles, costing
         # f32 ulps).
+        #
+        # The product is assembled PER LANE-TILE (a static loop over q
+        # concatenating [C, 128] blocks) rather than as a
+        # [C, w128, 128] tensor reshaped to [C, wp]: that reshape is a
+        # (channel, q) transpose relayout Mosaic lowers to sublane
+        # shuffles — measured ~0.7 us/epoch per trig component on a
+        # v5e (tools/direct_ablate_probe.py), the single largest cost
+        # in the kernel. Lane-dim concatenation of tile-width blocks is
+        # layout-preserving.
         w128 = wp // 128
         q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
             jnp.float32
@@ -166,12 +175,18 @@ def _epoch_core(
         th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
         th_b = step * q128                                  # [C, 128]
         th_b = (th_b - jnp.floor(th_b)) * jnp.float32(TWO_PI)
-        a_c = jnp.cos(th_a)[:, :w128].reshape(-1, w128, 1)
-        a_s = jnp.sin(th_a)[:, :w128].reshape(-1, w128, 1)
-        b_c = jnp.cos(th_b).reshape(-1, 1, 128)
-        b_s = jnp.sin(th_b).reshape(-1, 1, 128)
-        cth = (a_c * b_c - a_s * b_s).reshape(-1, wp)
-        sth = (a_s * b_c + a_c * b_s).reshape(-1, wp)
+        a_c = jnp.cos(th_a)
+        a_s = jnp.sin(th_a)
+        b_c = jnp.cos(th_b)
+        b_s = jnp.sin(th_b)
+        cth_parts, sth_parts = [], []
+        for qi in range(w128):
+            ac = a_c[:, qi:qi + 1]
+            as_ = a_s[:, qi:qi + 1]
+            cth_parts.append(ac * b_c - as_ * b_s)
+            sth_parts.append(as_ * b_c + ac * b_s)
+        cth = jnp.concatenate(cth_parts, axis=1)
+        sth = jnp.concatenate(sth_parts, axis=1)
     else:
         theta = (phi0 + lane * step) * jnp.float32(TWO_PI)
         cth = jnp.cos(theta)

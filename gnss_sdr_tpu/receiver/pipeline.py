@@ -569,7 +569,7 @@ class Receiver:
 
     def summary(self) -> dict:
         traces = self.telemetry.all_traces()
-        return {
+        out = {
             "blocks": self.window.blocks_fed,
             "time_ms": self.time_ms,
             "stage_timing": self.timers.report(),
@@ -598,3 +598,14 @@ class Receiver:
                 for t in traces
             ],
         }
+        if self.spec.name.startswith("galileo_e1"):
+            from ..models.codes import galileo_e1 as _gal
+
+            comp = "E1B" if self.spec.name.endswith("b") else "E1C"
+            # surfaced so an operator can tell at a glance whether the
+            # run used real ICD memory codes or the documented
+            # surrogate family (real-sky captures need the ICD tables,
+            # models/codes/galileo_e1.load_codes_hex)
+            out["code_status"] = {
+                "surrogate_codes": _gal.using_surrogate_codes(comp)}
+        return out

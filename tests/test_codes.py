@@ -118,6 +118,70 @@ class TestBeidouB1I:
         with pytest.raises(ValueError):
             beidou_b1i.generate_code(38)
 
+    def test_first_chips_octal_all_prns(self):
+        """Per-PRN first-24-chip octal fingerprints (the B1I analogue
+        of the GPS table 3-I check): a wrong G1/G2 feedback polynomial,
+        a swapped phase-tap pair, or a shift-direction bug cannot pass.
+
+        Oracle provenance: the fingerprints were produced by an
+        INDEPENDENT generator (integer bit-ops over GF(2) polynomial
+        states, transcribed separately from BDS-SIS-ICD-2.1 5.2.2's
+        G1/G2 polynomials, seed and phase-tap table — see
+        test_independent_generator_agrees below, which re-derives them
+        in-test), then frozen here as regression values.
+        """
+        for prn in range(1, 38):
+            code01 = (beidou_b1i.generate_code(prn)[:24] + 1) // 2
+            v = 0
+            for c in code01:
+                v = (v << 1) | int(c)
+            assert f"{v:08o}" == B1I_FIRST24_OCTAL[prn - 1], (
+                f"B1I PRN {prn} first-24-chip octal mismatch")
+
+    def test_independent_generator_agrees(self):
+        """Full-code cross-check against an independent bit-ops LFSR
+        implementation (no shared code with models/codes/beidou_b1i)."""
+        seed_bits = [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0]  # stage 1..11
+
+        def run(taps, fb_stages, n=2046):
+            s = 0
+            for i, b in enumerate(seed_bits):
+                s |= b << i                     # bit i = stage i+1
+            out = []
+            for _ in range(n):
+                o = (s >> (taps[0] - 1)) & 1
+                if len(taps) == 2:
+                    o ^= (s >> (taps[1] - 1)) & 1
+                out.append(o & 1)
+                fb = 0
+                for st in fb_stages:
+                    fb ^= (s >> (st - 1)) & 1
+                s = ((s << 1) | fb) & 0x7FF
+            return np.array(out, np.uint8)
+
+        g1 = run((11,), (1, 7, 8, 9, 10, 11))
+        for prn in (1, 9, 17, 25, 33, 37):
+            g2 = run(beidou_b1i.PHASE_TAPS[prn - 1],
+                     (1, 2, 3, 4, 5, 8, 9, 11))
+            expect = 2 * (g1 ^ g2).astype(np.int8) - 1
+            np.testing.assert_array_equal(
+                beidou_b1i.generate_code(prn), expect,
+                err_msg=f"B1I PRN {prn} full-code mismatch")
+
+
+# First 24 chips of each B1I code, octal (independent-oracle frozen
+# values; see TestBeidouB1I.test_first_chips_octal_all_prns).
+B1I_FIRST24_OCTAL = (
+    "31333315", "44461070", "32304102", "45076577", "45375256",
+    "32442011", "45315532", "32472363", "55352066", "50514004",
+    "26271176", "51103503", "51200222", "26537065", "51260546",
+    "26507317", "53523213", "24651666", "24552147", "53265300",
+    "24532623", "53255072", "52134714", "52237035", "25500272",
+    "52257751", "25530100", "25145440", "52672607", "25125324",
+    "52642575", "52571126", "25226405", "52541254", "52511642",
+    "25276013", "52521530",
+)
+
 
 class TestGalileoE1:
     def test_surrogate_flag(self):
