@@ -27,6 +27,9 @@ import numpy as np
 
 
 def main():
+    from gnss_sdr_tpu.utils.host import tune_host_allocator
+
+    tune_host_allocator()
     ap = argparse.ArgumentParser()
     ap.add_argument("--fs", type=float, default=None)
     ap.add_argument("--channels", type=int, default=None)
@@ -250,7 +253,7 @@ def _run_receiver(args, jax, scan_blocks: int = 8, quiet: bool = False):
         # remote tunnel at ~27 MB/s, which would otherwise dominate.
         from gnss_sdr_tpu.receiver import DeviceArraySource
 
-        src = DeviceArraySource(sig, fs)
+        src = DeviceArraySource(sig, fs, store="int8")
     else:
         src = ArraySource(sig, fs)
     rx = Receiver(

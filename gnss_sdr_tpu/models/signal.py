@@ -47,6 +47,29 @@ class SatelliteScenario:
         )
 
 
+def _unit_carrier(phi0_rad: float, w_rad_per_sample: float,
+                  start_sample: int, n: int,
+                  chunk: int = 8192) -> np.ndarray:
+    """``exp(j*(phi0 + w*(start_sample + k)))`` for k in [0, n) as
+    complex64, via chunked outer-product factorization: exact float64
+    ``exp`` only at one anchor per ``chunk`` samples, times a shared
+    in-chunk ramp. Phase error < ~1e-6 rad (one complex64 product of two
+    f64-rounded unit phasors) — the naive per-sample complex128 ``exp``
+    this replaces was ~100 ns/sample and dominated scene rendering.
+    """
+    m = -(-n // chunk)
+    # float64 anchors: w * start can reach ~1e5 rad; reduce mod 2*pi in
+    # exact integer-cycle arithmetic before exp
+    ks = start_sample + chunk * np.arange(m, dtype=np.float64)
+    cyc = (phi0_rad / (2.0 * np.pi)) + (w_rad_per_sample
+                                        / (2.0 * np.pi)) * ks
+    anchors = np.exp(2j * np.pi * (cyc - np.floor(cyc))).astype(
+        np.complex64)
+    r = np.arange(chunk, dtype=np.float64)
+    ramp = np.exp(1j * (w_rad_per_sample * r)).astype(np.complex64)
+    return (anchors[:, None] * ramp[None, :]).reshape(-1)[:n]
+
+
 def synthesize(
     sats: Sequence[SatelliteScenario],
     n_samples: int,
@@ -65,32 +88,34 @@ def synthesize(
     chunks with exact phase continuity.
     """
     i = np.arange(start_sample, start_sample + n_samples, dtype=np.float64)
-    out = np.zeros(n_samples, dtype=np.complex128)
+    out = np.zeros(n_samples, dtype=np.complex64)
     for sat in sats:
         spec = sat.signal
         rate = spec.code_rate_hz + sat.code_rate_offset_hz
         chip_phase = sat.code_phase_chips + rate / fs_hz * i
         chip_idx = np.floor(chip_phase).astype(np.int64)
         code = spec.code_table()[sat.prn - 1]
-        chips = code[chip_idx % spec.code_length_chips].astype(np.float64)
+        chips = code[chip_idx % spec.code_length_chips].astype(np.float32)
         if spec.boc_cycles_per_chip:
             half = np.floor(
                 chip_phase * 2 * spec.boc_cycles_per_chip
             ).astype(np.int64) & 1
-            chips *= 1.0 - 2.0 * half
+            chips *= (1.0 - 2.0 * half).astype(np.float32)
         if spec.secondary_code is not None:
             sec = spec.secondary_code
             sec_idx = (
                 chip_idx // spec.code_length_chips
             ) % len(sec)
-            chips *= sec[sec_idx]
+            chips *= sec[sec_idx].astype(np.float32)
         if sat.nav_bits is not None:
             codes_elapsed = chip_idx // spec.code_length_chips
             bit_idx = (codes_elapsed // spec.symbols_per_bit) % len(sat.nav_bits)
-            chips *= sat.nav_bits[bit_idx]
+            chips *= sat.nav_bits[bit_idx].astype(np.float32)
         f = f_if_hz + sat.doppler_hz
-        phase = sat.carrier_phase_rad + 2.0 * np.pi * f / fs_hz * i
-        out += sat.amplitude * chips * np.exp(1j * phase)
+        carrier = _unit_carrier(
+            sat.carrier_phase_rad, 2.0 * np.pi * f / fs_hz,
+            start_sample, n_samples)
+        out += (sat.amplitude * chips) * carrier
     if noise_std > 0.0:
         rng = np.random.default_rng(seed)
         out += noise_std * (

@@ -39,6 +39,11 @@ class Receiver:
         self.cfg = cfg
         self.source = source
         self.spec = get_signal(cfg.acq.signal)
+        # multi-MB host temporaries every block: keep them on a warm
+        # heap (utils/host.py — demand-paged VMs fault ~200x otherwise)
+        from ..utils.host import tune_host_allocator
+
+        tune_host_allocator()
         # persistent XLA compile cache: the acquisition graphs take
         # minutes to compile on a TPU backend; without this every fresh
         # process pays it again (respects a user-set cache dir)

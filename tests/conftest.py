@@ -9,3 +9,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+from gnss_sdr_tpu.utils.host import tune_host_allocator  # noqa: E402
+
+tune_host_allocator()
