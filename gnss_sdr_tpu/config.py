@@ -165,6 +165,24 @@ class TrackConfig:
     carrier_aiding: bool = False
     # static epoch window margin in samples beyond nominal samples/code
     window_margin: int = 8
+    # fused-kernel window/compute layout (receiver/fused_runner.py):
+    # "mxu" = K-epoch held-rate supersteps with the E/P/L correlation
+    # as one block-diagonal bf16 MXU contraction (fastest; NCO updates
+    # decimate to the superstep rate, >= 125 Hz — loop dynamics
+    # unchanged at GNSS bandwidths); "direct" = per-epoch VPU
+    # correlation, exact per-epoch NCO semantics; "seg"/"windows" =
+    # older layouts kept for A/B benching. "auto" = mxu on accelerator
+    # backends, direct on CPU.
+    fused_layout: str = "auto"
+    # telemetry wire format for the multi-block scan's device->host
+    # download (fused_runner.run_blocks): "f32" ships every epoch's
+    # full [T, C, 17] f32 telemetry (bit-exact, the test/parity
+    # format); "slim" ships prompt I/Q as bf16 + packed flags per
+    # epoch and the diagnostic columns (E/L, loop errors, rates) at
+    # superstep stride — ~4.5x fewer bytes on the steady-state path
+    # (the e2e bottleneck over a remote device link); "auto" = slim on
+    # accelerator backends, f32 on CPU
+    telemetry_wire: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

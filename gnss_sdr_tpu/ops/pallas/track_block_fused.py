@@ -923,6 +923,497 @@ def track_block_fused_direct(
       replicas, state_in)
 
 
+# ---------------------------------------------------------------------------
+# MXU layout: K-epoch supersteps with held NCO rates; the E/P/L
+# correlation for all drift variants runs as ONE block-diagonal bf16
+# MXU contraction per superstep (f32 accumulation).
+# ---------------------------------------------------------------------------
+
+def mxu_rows(n_drift: int, el_shift: int) -> int:
+    """Replica-bank rows for the MXU layout: every integer shift the
+    drift select AND the early/late lags can address —
+    ``n_drift + 2 * el_shift`` consecutive shifts (correlating against
+    all of them up front replaces the in-kernel variant select + rolls;
+    selection happens on the [C, R] correlation OUTPUTS instead)."""
+    return n_drift + 2 * el_shift
+
+
+def _mxu_run_k(
+    st,             # [C, 128] f32 state VALUE at superstep start
+    j,              # traced superstep index (for rem_j)
+    wre_slot,       # [C, 1, span] VMEM window slot (real)
+    wim_slot,
+    reps_ref,       # [C, R, WP] bf16 replica bank (R = mxu_rows)
+    telem_ref,      # [2K, C, 128] out block
+    w_scr,          # [2K, C, WP] bf16 im2col scratch
+    corr_scr,       # [C, 2K, R] f32 per-channel correlation scratch
+    telem_base,     # 0 or k_epochs (two supersteps per grid step)
+    lane,           # [1, WP] f32 iota
+    *,
+    k_epochs: int,
+    wp: int,
+    n0: int,
+    fs: float,
+    code_len: float,
+    lock_threshold: float,
+    max_lost: int,
+    pll_c1: float,
+    pll_c2: float,
+    dll_c1: float,
+    dll_c2: float,
+    el_shift: int,
+    aiding_scale: float,
+    if_freq: float,
+    lock_mode: str,
+    costas_thr: float,
+    interp: bool,
+):
+    """One K-epoch superstep, MXU formulation.
+
+    Semantics vs the per-epoch kernel (_epoch_core): NCO rates are HELD
+    at their superstep-start values for the carrier mix, replica select,
+    mask and ledger advance of all K epochs; discriminators and loop
+    filters still run per epoch (on the batched correlations), and the
+    filtered rates take effect at the next superstep boundary. This is
+    the standard discriminator-rate/NCO-rate decimation structure: with
+    K <= 8 (NCO updates >= 125 Hz against <= 25 Hz loop bandwidths) the
+    loop dynamics are unchanged to first order, and it is what makes
+    the epoch batch correlate as ONE MXU contraction — the serial
+    dependency epoch->epoch otherwise forces the VPU path. Bank row
+    mapping: prompt for drift-select s = row (R-1)//2 + s; early/late
+    are rows -/+ el_shift from prompt (correlation against a shifted
+    replica == shifted row, build_replicas docstring).
+    """
+    c_channels = st.shape[0]
+    r_rows = reps_ref.shape[1]
+    half_r = (r_rows - 1) // 2
+    kk = k_epochs * n0
+    fs_f = jnp.float32(fs)
+
+    def col(k):
+        return st[:, k:k + 1]
+
+    carr_freq = col(0)
+    carr_phase = col(1)
+    carr_err0 = col(2)
+    code_rate = col(3)
+    chip_res0 = col(4)
+    code_err0 = col(5)
+    lost0 = col(6)
+    active0 = col(7)
+    drift0 = col(8)
+    woff = col(9)
+    frac0 = col(10)
+    lock_ema0 = col(11)
+
+    if aiding_scale != 0.0:
+        rate_eff = code_rate + (
+            carr_freq - jnp.float32(if_freq)) * jnp.float32(aiding_scale)
+    else:
+        rate_eff = code_rate
+    dc = rate_eff / fs_f
+    n_t_f = jnp.round(fs_f * jnp.float32(code_len) / rate_eff)
+    step = carr_freq / fs_f
+    adv = step * n_t_f                      # carrier cycles per epoch
+    d_drift = n_t_f - jnp.float32(n0)       # drift advance per epoch
+    d_chip = dc * n_t_f - jnp.float32(code_len)
+    rem_j = j * kk - (j * kk // 128) * 128  # dynamic span residue
+    rem_j_f = rem_j.astype(jnp.float32)
+
+    # ---- stage 1: mix + mask + bf16 im2col (VPU) --------------------
+    w128 = wp // 128
+    q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+        jnp.float32)
+    for e in range(k_epochs):
+        a_e = (e * n0 // 128) * 128
+        rem_e = e * n0 - a_e
+        ef = jnp.float32(e)
+        drift_e = drift0 + ef * d_drift
+        # alignment: the slice starts rem_i = rem_e + rem_j lanes
+        # before the nominal epoch lane. The per-epoch kernels roll
+        # the SELECTED replica right by rem_i; here the bank is
+        # correlated wholesale, so the WINDOW rolls left instead (the
+        # wrapped tail lanes land outside the epoch mask). After the
+        # roll, lane bookkeeping is residue-free: only the per-channel
+        # rem_c0 remains, carried by col 9 + the bank's lane_shift.
+        rem_i = rem_e + rem_j
+        sl = woff + drift_e
+        # phase referenced to the epoch body start (lane sl):
+        # theta(l) = 2pi*(phi0 + l*step), phi0 = phase_e - sl*step
+        phi0 = carr_phase + ef * adv - sl * step
+        th_a = phi0 + (step * jnp.float32(128.0)) * q128
+        th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
+        th_b = step * q128
+        th_b = (th_b - jnp.floor(th_b)) * jnp.float32(TWO_PI)
+        a_c = jnp.cos(th_a)
+        a_s = jnp.sin(th_a)
+        b_c = jnp.cos(th_b)
+        b_s = jnp.sin(th_b)
+        cth_parts, sth_parts = [], []
+        for qi in range(w128):
+            ac = a_c[:, qi:qi + 1]
+            as_ = a_s[:, qi:qi + 1]
+            cth_parts.append(ac * b_c - as_ * b_s)
+            sth_parts.append(as_ * b_c + ac * b_s)
+        cth = jnp.concatenate(cth_parts, axis=1)
+        sth = jnp.concatenate(sth_parts, axis=1)
+        lshift = jnp.where(rem_i == 0, 0, wp - rem_i)
+        wre = pltpu.roll(wre_slot[:, 0, a_e:a_e + wp], lshift, 1)
+        wim = pltpu.roll(wim_slot[:, 0, a_e:a_e + wp], lshift, 1)
+        in_ep = jnp.logical_and(lane >= sl, lane < sl + n_t_f)
+        mask = in_ep.astype(jnp.float32)
+        w_scr[2 * e] = ((wre * cth + wim * sth) * mask).astype(
+            jnp.bfloat16)
+        w_scr[2 * e + 1] = ((wim * cth - wre * sth) * mask).astype(
+            jnp.bfloat16)
+
+    # ---- stage 2: ONE block-diagonal MXU contraction ----------------
+    # big[c*R + r, q*C + c'] = <replica row (c, r), mixed window (q, c')>
+    # — C^2-fold block structure; only the c == c' diagonal blocks are
+    # meaningful, and a per-channel selection matmul (bf16, tiny K)
+    # extracts them without any strided lane addressing. MAC waste is
+    # C-fold but the MXU runs it at ~peak (tools/mxu_probe2.py: the
+    # whole stage measures ~1 us/epoch for 32 channels vs 5.8 us for
+    # the VPU select+roll+reduce formulation it replaces).
+    w_flat = w_scr[:].reshape(2 * k_epochs * c_channels, wp)
+    big = jax.lax.dot_general(
+        reps_ref[:].reshape(c_channels * r_rows, wp), w_flat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [C*R, 2K*C]
+    qk = 2 * k_epochs
+    # selection constant: sel[q*C + c, q'] = (q == q') for channel c —
+    # built in-graph from iotas (shard-size aware under shard_map),
+    # constant-folded by the compiler
+    row_q = jax.lax.broadcasted_iota(
+        jnp.int32, (qk * c_channels, qk), 0) // c_channels
+    col_q = jax.lax.broadcasted_iota(
+        jnp.int32, (qk * c_channels, qk), 1)
+    row_c = jax.lax.broadcasted_iota(
+        jnp.int32, (qk * c_channels, 1), 0) - row_q * c_channels
+    for c in range(c_channels):
+        sel_c = jnp.logical_and(row_q == col_q, row_c == c).astype(
+            jnp.bfloat16)                     # [2K*C, 2K]
+        blk = big[c * r_rows:(c + 1) * r_rows, :]  # [R, 2K*C]
+        # [2K, R] = sel_c^T . blk^T via dot_general contraction (0, 1)
+        corr_scr[c] = jax.lax.dot_general(
+            sel_c, blk,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # ---- stage 3: per-epoch discriminators + loop filters -----------
+    r_f = jax.lax.broadcasted_iota(jnp.int32, (1, r_rows), 1).astype(
+        jnp.float32)
+
+    def pick(corr2, idx):
+        m = (r_f == idx).astype(jnp.float32)
+        return jnp.sum(corr2 * m, axis=1, keepdims=True)
+
+    cf_f, ce_f = carr_freq, carr_err0
+    cr_f, de_f = code_rate, code_err0
+    lo_f, ac_f, le_f = lost0, active0, lock_ema0
+    n_act = jnp.zeros_like(carr_freq)
+    fid = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
+
+    def scatter(pairs):
+        out = jnp.zeros((c_channels, N_FIELDS), jnp.float32)
+        for k, v in pairs:
+            out = out + (fid == k).astype(jnp.float32) * v
+        return out
+
+    for e in range(k_epochs):
+        ef = jnp.float32(e)
+        drift_e = drift0 + ef * d_drift
+        chip_res_e = chip_res0 + ef * d_chip
+        qq = (chip_res_e + frac0) / dc
+        qf = jnp.floor(qq)
+        shift = drift_e - qf
+        idx_p = jnp.float32(half_r) + shift
+        re_e = corr_scr[:, 2 * e, :]          # [C, R]
+        im_e = corr_scr[:, 2 * e + 1, :]
+        if interp:
+            f_sub = qq - qf
+
+            def pick_b(corr2, idx):
+                return ((1.0 - f_sub) * pick(corr2, idx)
+                        + f_sub * pick(corr2, idx - 1.0))
+        else:
+            pick_b = pick
+        el_f = jnp.float32(el_shift)
+        i_p = pick_b(re_e, idx_p)
+        q_p = pick_b(im_e, idx_p)
+        i_e = pick_b(re_e, idx_p - el_f)
+        q_e = pick_b(im_e, idx_p - el_f)
+        i_l = pick_b(re_e, idx_p + el_f)
+        q_l = pick_b(im_e, idx_p + el_f)
+
+        power = i_p * i_p + q_p * q_p
+        if lock_mode == "costas":
+            nbd = i_p * i_p - q_p * q_p
+            metric = nbd / jnp.maximum(power, 1e-12)
+            alpha = jnp.float32(0.1)
+            new_le = jnp.where(
+                ac_f > 0.5, (1.0 - alpha) * le_f + alpha * metric, le_f)
+            locked = new_le > jnp.float32(costas_thr)
+        else:
+            new_le = le_f
+            locked = power > jnp.float32(lock_threshold)
+
+        safe_ip = jnp.where(jnp.abs(i_p) < 1e-12, 1e-12, i_p)
+        pll_err = _atan_poly(q_p / safe_ip) * jnp.float32(1.0 / TWO_PI)
+        carr_nco = pll_err * jnp.float32(pll_c1) + (
+            pll_err - ce_f) * jnp.float32(pll_c2)
+        pow_e = jnp.sqrt(i_e * i_e + q_e * q_e)
+        pow_l = jnp.sqrt(i_l * i_l + q_l * q_l)
+        el_sum = pow_e + pow_l
+        dll_err = jnp.where(
+            el_sum > 0.0,
+            (pow_e - pow_l) / jnp.maximum(el_sum, 1e-12), 0.0)
+        code_nco = dll_err * jnp.float32(dll_c1) + (
+            dll_err - de_f) * jnp.float32(dll_c2)
+
+        act_e = ac_f > 0.5
+        upd = jnp.logical_and(act_e, locked)
+        new_cf = jnp.where(upd, cf_f + carr_nco, cf_f)
+        new_ce = jnp.where(upd, pll_err, ce_f)
+        new_cr = jnp.where(upd, cr_f + code_nco, cr_f)
+        new_de = jnp.where(upd, dll_err, de_f)
+        new_lo = jnp.where(act_e,
+                           jnp.where(locked, 0.0, lo_f + 1.0), lo_f)
+        died = new_lo >= jnp.float32(max_lost)
+        new_ac = jnp.where(died, 0.0, ac_f)
+        wr = jnp.where(act_e, 1.0, 0.0)
+        n_act = n_act + wr
+
+        telem_ref[telem_base + e] = scatter([
+            (0, i_e * wr), (1, q_e * wr), (2, i_p * wr), (3, q_p * wr),
+            (4, i_l * wr), (5, q_l * wr), (6, power * wr),
+            (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
+            (9, dll_err * wr),
+            (10, jnp.where(act_e, new_cf, cf_f)),
+            (11, jnp.where(act_e, new_cr, cr_f)),
+            (12, n_t_f), (13, drift_e), (14, chip_res_e * wr),
+            (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
+            (16, wr),
+        ])
+        cf_f, ce_f, cr_f, de_f = new_cf, new_ce, new_cr, new_de
+        lo_f, le_f = new_lo, jnp.where(died, 0.0, new_le)
+        ac_f = new_ac
+
+    # ---- superstep writeback (held-rate ledger advance) -------------
+    ncp = carr_phase + n_act * adv
+    new_carr_phase = ncp - jnp.floor(ncp)
+    return scatter([
+        (0, cf_f), (1, new_carr_phase), (2, ce_f), (3, cr_f),
+        (4, chip_res0 + n_act * d_chip), (5, de_f), (6, lo_f),
+        (7, ac_f), (8, drift0 + n_act * d_drift), (9, woff),
+        (10, frac0), (11, le_f),
+    ])
+
+
+def _mxu_kernel(
+    starts_ref,     # [C] int32 scalar-prefetch: 128-aligned a_c
+    stream_re_ref,  # [1, L] shared sample stream (ANY/HBM)
+    stream_im_ref,
+    reps_ref,       # [C, R, WP] bf16 replica bank
+    state_in_ref,   # [C, 128]
+    telem_ref,      # [2K, C, 128] out block, grid-indexed
+    state_out_ref,  # [C, 128] out
+    state,          # [C, 128] f32 VMEM scratch
+    w0r, w0i,       # [C, 1, span] window slots (double buffer)
+    w1r, w1i,
+    w_scr,          # [2K, C, WP] bf16 im2col scratch
+    corr_scr,       # [C, 2K, R] f32 correlation scratch
+    sems,           # DMA sems [2 slots, 2 components]
+    *,
+    c_channels: int,
+    k_epochs: int,
+    wp: int,
+    span: int,
+    n0: int,
+    fs: float,
+    code_len: float,
+    lock_threshold: float,
+    max_lost: int,
+    pll_c1: float,
+    pll_c2: float,
+    dll_c1: float,
+    dll_c2: float,
+    el_shift: int,
+    aiding_scale: float,
+    if_freq: float,
+    lock_mode: str,
+    costas_thr: float,
+    interp: bool,
+):
+    """Direct-DMA double-buffered superstep pipeline (same structure as
+    _direct_kernel) driving the MXU correlation superstep."""
+    u = pl.program_id(0)
+    n_u = pl.num_programs(0)
+    kk = k_epochs * n0
+
+    def copies(j, wr, wi, slot):
+        off = (j * kk // 128) * 128
+        cps = []
+        for c in range(c_channels):
+            a = pl.multiple_of(starts_ref[c] + off, 128)
+            cps.append(pltpu.make_async_copy(
+                stream_re_ref.at[0:1, pl.ds(a, span)], wr.at[c],
+                sems.at[slot, 0]))
+            cps.append(pltpu.make_async_copy(
+                stream_im_ref.at[0:1, pl.ds(a, span)], wi.at[c],
+                sems.at[slot, 1]))
+        return cps
+
+    def issue(j, wr, wi, slot):
+        for cp in copies(j, wr, wi, slot):
+            cp.start()
+
+    def drain(j, wr, wi, slot):
+        for cp in copies(j, wr, wi, slot):
+            cp.wait()
+
+    @pl.when(u == 0)
+    def _():
+        state[:] = state_in_ref[:]
+        issue(0, w0r, w0i, 0)
+
+    j0 = 2 * u
+    j1 = 2 * u + 1
+    issue(j1, w1r, w1i, 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(
+        jnp.float32)
+
+    def run(st, j, wr, wi, base):
+        return _mxu_run_k(
+            st, j, wr, wi, reps_ref, telem_ref, w_scr, corr_scr, base,
+            lane, k_epochs=k_epochs, wp=wp, n0=n0, fs=fs,
+            code_len=code_len, lock_threshold=lock_threshold,
+            max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
+            dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
+            aiding_scale=aiding_scale, if_freq=if_freq,
+            lock_mode=lock_mode, costas_thr=costas_thr, interp=interp)
+
+    drain(j0, w0r, w0i, 0)
+    st = run(state[:, :], j0, w0r, w0i, 0)
+
+    @pl.when(u + 1 < n_u)
+    def _():
+        issue(j0 + 2, w0r, w0i, 0)
+
+    drain(j1, w1r, w1i, 1)
+    st = run(st, j1, w1r, w1i, k_epochs)
+    state[:] = st
+
+    @pl.when(u == n_u - 1)
+    def _():
+        state_out_ref[:] = st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
+        "lock_threshold", "max_lost", "pll_c1", "pll_c2", "dll_c1",
+        "dll_c2", "el_shift", "interpret", "aiding_scale", "if_freq",
+        "lock_mode", "costas_thr", "interp",
+    ),
+)
+def track_block_fused_mxu(
+    stream_re: jax.Array,    # [L] ONE shared sample stream
+    stream_im: jax.Array,    # [L]
+    starts: jax.Array,       # [C] int32 128-aligned per-channel a_c
+    replicas: jax.Array,     # [C, R, WP] bank (build_replicas with
+    state_in: jax.Array,     # n_drift=mxu_rows)   [C, 128] f32
+    *,
+    t_epochs: int,
+    k_epochs: int,
+    n0: int,
+    wp: int,
+    fs: float,
+    code_len: float = 1023.0,
+    lock_threshold: float = 15.0,
+    max_lost: int = 20,
+    pll_c1: float = 0.0,
+    pll_c2: float = 0.0,
+    dll_c1: float = 0.0,
+    dll_c2: float = 0.0,
+    el_shift: int = 1,
+    interpret: bool = False,
+    aiding_scale: float = 0.0,
+    if_freq: float = 0.0,
+    lock_mode: str = "power",
+    costas_thr: float = 0.4,
+    interp: bool = False,
+):
+    """MXU-layout fused tracking: T epochs, ONE kernel launch, the
+    E/P/L correlation of each K-epoch superstep as ONE block-diagonal
+    bf16 MXU contraction with f32 accumulation (see _mxu_run_k for the
+    held-rate superstep semantics and tools/mxu_probe2.py for the
+    formulation study). Same DMA structure, state columns and telemetry
+    contract as track_block_fused_direct; requires wp % 128 == 0 and
+    t_epochs % (2 * k_epochs) == 0."""
+    c_channels = state_in.shape[0]
+    if wp % 128:
+        raise ValueError(f"mxu layout requires wp % 128 == 0, got {wp}")
+    if t_epochs % (2 * k_epochs):
+        raise ValueError(
+            f"t_epochs={t_epochs} not divisible by 2*k_epochs="
+            f"{2 * k_epochs}")
+    n_u = t_epochs // (2 * k_epochs)
+    span = direct_span(k_epochs, n0, wp)
+    r_rows = replicas.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_u,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2 * k_epochs, c_channels, N_FIELDS),
+                         lambda u, s: (u, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((2 * k_epochs, c_channels, wp), jnp.bfloat16),
+            pltpu.VMEM((c_channels, 2 * k_epochs, r_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _mxu_kernel,
+            c_channels=c_channels, k_epochs=k_epochs, wp=wp, span=span,
+            n0=n0, fs=fs, code_len=code_len,
+            lock_threshold=lock_threshold, max_lost=max_lost,
+            pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+            el_shift=el_shift, aiding_scale=aiding_scale,
+            if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
+            interp=interp,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((c_channels, N_FIELDS), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, stream_re.reshape(1, -1), stream_im.reshape(1, -1),
+      replicas, state_in)
+
+
 def gather_segments(block_re, block_im, starts, l_seg: int, *,
                     interpret: bool = False):
     """Per-channel segment gather: ([C, Lseg], [C, Lseg]) copies of one
