@@ -255,21 +255,26 @@ def _run_receiver(args, jax, scan_blocks: int = 8, quiet: bool = False):
         # nav), not the benchmark transport. A production deployment
         # ingests over local PCIe; this session's device link is a
         # remote tunnel at ~27 MB/s, which would otherwise dominate.
+        # (The STREAMED ingest mode is measured separately below.)
         from gnss_sdr_tpu.receiver import DeviceArraySource
 
         src = DeviceArraySource(sig, fs, store="int8")
     else:
         src = ArraySource(sig, fs)
-    rx = Receiver(
-        ReceiverConfig(
-            rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs),
-            acq=AcqConfig(engine="auto"),
-            track=TrackConfig(n_channels=args.channels,
-                              correlator=correlator),
-            block_ms=args.block_ms,
-        ),
-        src,
-    )
+
+    def make_rx(source):
+        return Receiver(
+            ReceiverConfig(
+                rf=RfConfig(freq_if_hz=0.0, output_sample_rate_hz=fs),
+                acq=AcqConfig(engine="auto"),
+                track=TrackConfig(n_channels=args.channels,
+                                  correlator=correlator),
+                block_ms=args.block_ms,
+            ),
+            source,
+        )
+
+    rx = make_rx(src)
     # warm both code paths (single-block + scan span) outside timing
     rx.run(max_blocks=warm_blocks)          # compile + acquire
     if scan_blocks > 1:
@@ -295,6 +300,29 @@ def _run_receiver(args, jax, scan_blocks: int = 8, quiet: bool = False):
     agree = min(rtf_a, rtf) / max(rtf_a, rtf)
     rtf = max(rtf_a, rtf)
     summary = rx.summary()
+
+    # STREAMED ingest mode: the double-buffered async host->device
+    # feeder (StreamingDeviceSource) replaces pre-staging — the host
+    # uploads int8 blocks ahead of the consumer while the device
+    # computes. Same compiled graphs (shapes unchanged). Over this
+    # session's remote tunnel the upload rides a ~27 MB/s link, so the
+    # gap vs pre-staged bounds the TRANSPORT, not the feeder design;
+    # on a local PCIe host the upload is noise.
+    streamed = None
+    if on_tpu:
+        try:
+            from gnss_sdr_tpu.receiver import StreamingDeviceSource
+
+            rx = make_rx(StreamingDeviceSource(ArraySource(sig, fs),
+                                               depth=3, store="int8"))
+            rx.run(max_blocks=warm_blocks)
+            if scan_blocks > 1:
+                rx.run(max_blocks=scan_blocks, scan_blocks=scan_blocks)
+            rtf_s, _ = measure()
+            streamed = {"value": round(rtf_s, 2),
+                        "vs_prestaged": round(rtf_s / rtf, 3)}
+        except Exception as e:  # noqa: BLE001
+            streamed = {"error": f"{type(e).__name__}: {e}"[:160]}
     result = {
         "metric": (
             f"END-TO-END real-time factor, {args.channels}-ch streaming "

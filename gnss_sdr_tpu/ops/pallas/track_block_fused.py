@@ -967,6 +967,7 @@ def _mxu_run_k(
     lock_mode: str,
     costas_thr: float,
     interp: bool,
+    ablate: str = "",
 ):
     """One K-epoch superstep, MXU formulation.
 
@@ -1066,6 +1067,20 @@ def _mxu_run_k(
             jnp.bfloat16)
         w_scr[2 * e + 1] = ((wim * cth - wre * sth) * mask).astype(
             jnp.bfloat16)
+
+    if "nosmall" in ablate:          # profiling hook: stages 1+2 only
+        w_flat0 = w_scr[:].reshape(2 * k_epochs * c_channels, wp)
+        big0 = jax.lax.dot_general(
+            reps_ref[:].reshape(c_channels * r_rows, wp), w_flat0,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        fid0 = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
+        probe = jnp.sum(big0[:c_channels, :1].reshape(c_channels, 1),
+                        axis=1, keepdims=True)
+        row0 = (fid0 == 0).astype(jnp.float32) * probe
+        for e in range(k_epochs):
+            telem_ref[telem_base + e] = row0
+        return st + 1e-20 * row0
 
     # ---- stage 2: ONE block-diagonal MXU contraction ----------------
     # big[c*R + r, q*C + c'] = <replica row (c, r), mixed window (q, c')>
@@ -1184,17 +1199,21 @@ def _mxu_run_k(
         wr = jnp.where(act_e, 1.0, 0.0)
         n_act = n_act + wr
 
-        telem_ref[telem_base + e] = scatter([
-            (0, i_e * wr), (1, q_e * wr), (2, i_p * wr), (3, q_p * wr),
-            (4, i_l * wr), (5, q_l * wr), (6, power * wr),
-            (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
-            (9, dll_err * wr),
-            (10, jnp.where(act_e, new_cf, cf_f)),
-            (11, jnp.where(act_e, new_cr, cr_f)),
-            (12, n_t_f), (13, drift_e), (14, chip_res_e * wr),
-            (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
-            (16, wr),
-        ])
+        if "notelem" in ablate:      # profiling hook: minimal telemetry
+            telem_ref[telem_base + e] = scatter([(2, i_p * wr)])
+        else:
+            telem_ref[telem_base + e] = scatter([
+                (0, i_e * wr), (1, q_e * wr), (2, i_p * wr),
+                (3, q_p * wr),
+                (4, i_l * wr), (5, q_l * wr), (6, power * wr),
+                (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
+                (9, dll_err * wr),
+                (10, jnp.where(act_e, new_cf, cf_f)),
+                (11, jnp.where(act_e, new_cr, cr_f)),
+                (12, n_t_f), (13, drift_e), (14, chip_res_e * wr),
+                (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
+                (16, wr),
+            ])
         cf_f, ce_f, cr_f, de_f = new_cf, new_ce, new_cr, new_de
         lo_f, le_f = new_lo, jnp.where(died, 0.0, new_le)
         ac_f = new_ac
@@ -1244,6 +1263,7 @@ def _mxu_kernel(
     lock_mode: str,
     costas_thr: float,
     interp: bool,
+    ablate: str = "",
 ):
     """Direct-DMA double-buffered superstep pipeline (same structure as
     _direct_kernel) driving the MXU correlation superstep."""
@@ -1292,7 +1312,8 @@ def _mxu_kernel(
             max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
             dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
             aiding_scale=aiding_scale, if_freq=if_freq,
-            lock_mode=lock_mode, costas_thr=costas_thr, interp=interp)
+            lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
+            ablate=ablate)
 
     drain(j0, w0r, w0i, 0)
     st = run(state[:, :], j0, w0r, w0i, 0)
@@ -1316,7 +1337,7 @@ def _mxu_kernel(
         "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
         "lock_threshold", "max_lost", "pll_c1", "pll_c2", "dll_c1",
         "dll_c2", "el_shift", "interpret", "aiding_scale", "if_freq",
-        "lock_mode", "costas_thr", "interp",
+        "lock_mode", "costas_thr", "interp", "ablate",
     ),
 )
 def track_block_fused_mxu(
@@ -1345,6 +1366,7 @@ def track_block_fused_mxu(
     lock_mode: str = "power",
     costas_thr: float = 0.4,
     interp: bool = False,
+    ablate: str = "",
 ):
     """MXU-layout fused tracking: T epochs, ONE kernel launch, the
     E/P/L correlation of each K-epoch superstep as ONE block-diagonal
@@ -1399,7 +1421,7 @@ def track_block_fused_mxu(
             pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
             el_shift=el_shift, aiding_scale=aiding_scale,
             if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
-            interp=interp,
+            interp=interp, ablate=ablate,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),

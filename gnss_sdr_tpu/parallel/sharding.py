@@ -204,7 +204,12 @@ def time_sharded_pcps_search(
 
     # check_vma=False: pcps_power's scan carry starts replicated while the
     # scanned spectra are shard-varying; the psum at the end restores
-    # replication, which the static varying-axis checker cannot see.
+    # replication, which the static varying-axis checker cannot see. The
+    # invariant is ASSERTED instead (same policy as shard_fused_step):
+    # tests/test_parallel.py::TestShardedAcquisition::
+    # test_time_sharded_matches proves 2/4/8-device output equal to the
+    # single-device reference (detected/code-phase exact, ratio to fp
+    # sum-order tolerance).
     power = jax.shard_map(
         local,
         mesh=mesh,

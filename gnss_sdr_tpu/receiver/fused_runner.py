@@ -81,7 +81,15 @@ class FusedTracker:
         # divisor of t_epochs <= 8 (5 ms cadence at 1 ms epochs)
         self.wire_stride = next(
             s for s in (8, 5, 4, 2, 1) if t_epochs % s == 0)
-        if layout == "mxu" and fused.choose_k(t_epochs, k_max=8) is None:
+        # mxu superstep cap: 8 epochs (NCO >= 125 Hz) for the power
+        # detector; 2 for costas — its lock EMA is PHASE-sensitive and
+        # an adversarial initial carrier phase can push the EMA below
+        # threshold during the held-rate latency, freezing the loop
+        # before the first correction lands (observed at K=5,
+        # tests/test_mxu_kernel.py::TestMxuTracking::test_costas_mode)
+        mxu_k_max = 2 if cfg.lock_mode == "costas" else 8
+        if (layout == "mxu"
+                and fused.choose_k(t_epochs, k_max=mxu_k_max) is None):
             layout = "direct"       # odd t_epochs: no superstep pairing
         if layout == "direct" and fused.choose_k(t_epochs) is None:
             layout = "seg"          # odd t_epochs: no superstep pairing
@@ -108,7 +116,7 @@ class FusedTracker:
         self.codes_sampled = jnp.asarray(codes_sampled)
         if layout in ("direct", "mxu"):
             self.k_epochs = fused.choose_k(
-                t_epochs, k_max=8 if layout == "mxu" else 16)
+                t_epochs, k_max=mxu_k_max if layout == "mxu" else 16)
             # worst DMA read end: a_c + off_last + span
             #   <= off + (T-1)*n0 + wp - el_pad  (fused_runner math)
             self.max_offset = (buf_len - (t_epochs - 1) * self.n0

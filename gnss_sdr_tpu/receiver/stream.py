@@ -183,6 +183,110 @@ class DeviceArraySource:
         return (re, im)
 
 
+class StreamingDeviceSource:
+    """Double-buffered async host->device ingest (SURVEY section 7
+    "streaming vs jit" hard part; reference analogue: the SDR reader
+    thread feeding the ring, sdr_thread.rs:9-37).
+
+    A feeder thread pulls blocks from a host ``SampleSource``, stages
+    them (optionally int8-quantized — the authentic RTL-SDR wire
+    precision), and issues ``jax.device_put`` ahead of the consumer,
+    keeping ``depth`` blocks in flight. ``read`` then hands the
+    receiver a device-resident planar pair whose upload already
+    happened (or is in flight) while the device was computing the
+    previous block — the device never stalls on host ingest as long as
+    the producer keeps up. ``jax.device_put`` is async: enqueuing the
+    transfer costs microseconds and the copy overlaps compute.
+
+    Constraints: the consumer must call ``read`` with a consistent
+    block size (the Receiver does — one block per step); the feeder
+    reads ahead of the consumer by up to ``depth`` blocks, so a
+    lock-step source that must not run ahead (live hardware with tight
+    buffers) should choose ``depth`` accordingly.
+    """
+
+    def __init__(self, source, depth: int = 3, store: str = "int8"):
+        if store not in ("int8", "f32"):
+            raise ValueError(f"unknown store {store!r}")
+        self.fs_hz = source.fs_hz
+        self._source = source
+        self._depth = depth
+        self._store = store
+        self._queue = None
+        self._thread = None
+        self._block_n = None
+        self._scale = None
+
+    def _stage(self, raw):
+        import jax
+
+        if isinstance(raw, tuple):
+            re, im = raw
+            re = np.asarray(re, np.float32)
+            im = np.asarray(im, np.float32)
+        else:
+            re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
+            im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
+        if self._store == "int8":
+            if self._scale is None:
+                sigma = float(max(np.std(re), np.std(im), 1e-12))
+                self._scale = np.float32(4.0 * sigma / 127.0)
+            q = lambda x: np.clip(  # noqa: E731
+                np.round(x / self._scale), -127, 127).astype(np.int8)
+            return (jax.device_put(q(re)), jax.device_put(q(im)),
+                    re.shape[0])
+        return (jax.device_put(re), jax.device_put(im), re.shape[0])
+
+    def _feeder(self):
+        while True:
+            raw = self._source.read(self._block_n)
+            if raw is None:
+                self._queue.put(None)
+                return
+            size = raw[0].shape[0] if isinstance(raw, tuple) else raw.size
+            if size == 0:
+                self._queue.put(None)
+                return
+            self._queue.put(self._stage(raw))
+            if size < self._block_n:
+                self._queue.put(None)   # short tail = end of stream
+                return
+
+    def read(self, n: int):
+        import queue as _q
+        import threading
+
+        import jax.numpy as jnp
+
+        if self._thread is None:
+            self._block_n = n
+            self._queue = _q.Queue(maxsize=self._depth)
+            self._thread = threading.Thread(target=self._feeder,
+                                            daemon=True)
+            self._thread.start()
+        if n != self._block_n:
+            raise ValueError(
+                f"StreamingDeviceSource block size changed: "
+                f"{self._block_n} -> {n}")
+        item = self._queue.get()
+        if item is None:
+            return None
+        re, im, size = item
+        if self._store == "int8":
+            re = re.astype(jnp.float32) * self._scale
+            im = im.astype(jnp.float32) * self._scale
+        if size < self._block_n:
+            re = re[:size]
+            im = im[:size]
+        return (re, im)
+
+    def close(self):
+        if self._thread is not None and self._thread.is_alive():
+            # drain so the feeder can exit
+            while self._queue.get() is not None:
+                pass
+
+
 class StreamWindow:
     """Rolling history+block sample window fed to the device each step.
 
