@@ -110,7 +110,7 @@ def _run_fused(args, jax, jnp):
     bre = jnp.asarray(rng.standard_normal(stream_len), jnp.float32)
     bim = jnp.asarray(rng.standard_normal(stream_len), jnp.float32)
     ft = fr.FusedTracker(params, cfg, spec, fs, codes_s, t_epochs,
-                         history + block, layout="direct")
+                         history + block, layout="mxu")
     scan_fn = ft._make_scan()
     offset0 = np.full(channels, n0, np.int32)
     fcols = np.zeros((channels, 7), np.float32)
@@ -419,7 +419,11 @@ def _run_ttff(args, jax):
 
     rx.run(scan_blocks=4, on_block=check)
     if state["fix"] is None:
-        return {"error": "no fix before end of scene"}
+        s = rx.summary()
+        return {"error": "no fix before end of scene",
+                "tracked": s["tracked_prns"],
+                "ephemerides": s["ephemerides"],
+                "nav": {k: v for k, v in list(s["nav"].items())[:4]}}
     err = float(np.linalg.norm(
         np.asarray(state["fix"].position_ecef_m) - RX_TRUE))
     return {
@@ -486,7 +490,8 @@ def _run(args):
             "unit": "x_realtime",
             "vs_baseline": round(rtf / 500.0, 3),
             "detail": {
-                "engine": "fused-scan (run_blocks) + conv-acquisition",
+                "engine": "fused-scan (run_blocks, mxu layout) + "
+                          "conv-acquisition",
                 "track_s_per_signal_s": round(t_track / signal_s, 5),
                 "track_pass_agreement": round(track_agree, 3),
                 "acq_full_search_s": round(t_acq, 4),

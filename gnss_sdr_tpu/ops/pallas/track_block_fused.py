@@ -1096,18 +1096,23 @@ def _mxu_run_k(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # [C*R, 2K*C]
     qk = 2 * k_epochs
-    # selection constant: sel[q*C + c, q'] = (q == q') for channel c —
-    # built in-graph from iotas (shard-size aware under shard_map),
-    # constant-folded by the compiler
+    # selection constant: one bf16 matmul per channel extracts the
+    # diagonal block, PERMUTED so the re epochs land in rows [0, K) and
+    # the im epochs in rows [K, 2K) — stage 3 then reads [C, K, R]
+    # re/im cubes as contiguous middle-dim slices (no strided
+    # addressing). Built in-graph from iotas (shard-size aware under
+    # shard_map), constant-folded by the compiler.
     row_q = jax.lax.broadcasted_iota(
         jnp.int32, (qk * c_channels, qk), 0) // c_channels
-    col_q = jax.lax.broadcasted_iota(
+    col_i = jax.lax.broadcasted_iota(
         jnp.int32, (qk * c_channels, qk), 1)
+    tgt_q = jnp.where(col_i < k_epochs, 2 * col_i,
+                      2 * (col_i - k_epochs) + 1)
     row_c = jax.lax.broadcasted_iota(
         jnp.int32, (qk * c_channels, 1), 0) - row_q * c_channels
     for c in range(c_channels):
-        sel_c = jnp.logical_and(row_q == col_q, row_c == c).astype(
-            jnp.bfloat16)                     # [2K*C, 2K]
+        sel_c = jnp.logical_and(row_q == tgt_q, row_c == c).astype(
+            jnp.bfloat16)                     # [2K*C, 2K] permuted
         blk = big[c * r_rows:(c + 1) * r_rows, :]  # [R, 2K*C]
         # [2K, R] = sel_c^T . blk^T via dot_general contraction (0, 1)
         corr_scr[c] = jax.lax.dot_general(
@@ -1115,13 +1120,61 @@ def _mxu_run_k(
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # ---- stage 3: per-epoch discriminators + loop filters -----------
-    r_f = jax.lax.broadcasted_iota(jnp.int32, (1, r_rows), 1).astype(
-        jnp.float32)
+    # ---- stage 3: discriminators vectorized over the K epochs -------
+    # Everything except the loop-filter/lock chain is history-free
+    # (held rates make drift/chip/select deterministic), so the picks,
+    # power, atan and E-L discriminators run ONCE on [C, K(, R)]
+    # arrays; only ~20 [C, 1]-scale ops per epoch remain sequential.
+    # (The per-epoch formulation measured 1.6 ms/signal-s of tiny-op
+    # overhead — half the kernel — tools/mxu_ablate_probe.py.)
+    corr_re = corr_scr[:, 0:k_epochs, :]      # [C, K, R]
+    corr_im = corr_scr[:, k_epochs:qk, :]
+    ef_all = jax.lax.broadcasted_iota(
+        jnp.int32, (1, k_epochs), 1).astype(jnp.float32)
+    drift_all = drift0 + ef_all * d_drift     # [C, K]
+    chip_all = chip_res0 + ef_all * d_chip
+    qq_all = (chip_all + frac0) / dc
+    qf_all = jnp.floor(qq_all)
+    shift_all = drift_all - qf_all
+    idx_p_all = jnp.float32(half_r) + shift_all
+    r3 = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, r_rows), 2).astype(jnp.float32)
 
-    def pick(corr2, idx):
-        m = (r_f == idx).astype(jnp.float32)
-        return jnp.sum(corr2 * m, axis=1, keepdims=True)
+    def pick(corr3, idx):
+        m = (r3 == idx[:, :, None]).astype(jnp.float32)
+        return jnp.sum(corr3 * m, axis=2)     # [C, K]
+
+    if interp:
+        f_sub_all = qq_all - qf_all
+
+        def pick_b(corr3, idx):
+            return ((1.0 - f_sub_all) * pick(corr3, idx)
+                    + f_sub_all * pick(corr3, idx - 1.0))
+    else:
+        pick_b = pick
+    el_f = jnp.float32(el_shift)
+    i_p_all = pick_b(corr_re, idx_p_all)      # [C, K]
+    q_p_all = pick_b(corr_im, idx_p_all)
+    i_e_all = pick_b(corr_re, idx_p_all - el_f)
+    q_e_all = pick_b(corr_im, idx_p_all - el_f)
+    i_l_all = pick_b(corr_re, idx_p_all + el_f)
+    q_l_all = pick_b(corr_im, idx_p_all + el_f)
+
+    power_all = i_p_all * i_p_all + q_p_all * q_p_all
+    safe_ip = jnp.where(jnp.abs(i_p_all) < 1e-12, 1e-12, i_p_all)
+    pll_err_all = _atan_poly(q_p_all / safe_ip) \
+        * jnp.float32(1.0 / TWO_PI)
+    pow_e_all = jnp.sqrt(i_e_all * i_e_all + q_e_all * q_e_all)
+    pow_l_all = jnp.sqrt(i_l_all * i_l_all + q_l_all * q_l_all)
+    el_sum = pow_e_all + pow_l_all
+    dll_err_all = jnp.where(
+        el_sum > 0.0,
+        (pow_e_all - pow_l_all) / jnp.maximum(el_sum, 1e-12), 0.0)
+    if lock_mode == "costas":
+        metric_all = (i_p_all * i_p_all - q_p_all * q_p_all) \
+            / jnp.maximum(power_all, 1e-12)
+    else:
+        locked_all = power_all > jnp.float32(lock_threshold)
 
     cf_f, ce_f = carr_freq, carr_err0
     cr_f, de_f = code_rate, code_err0
@@ -1136,53 +1189,29 @@ def _mxu_run_k(
         return out
 
     for e in range(k_epochs):
-        ef = jnp.float32(e)
-        drift_e = drift0 + ef * d_drift
-        chip_res_e = chip_res0 + ef * d_chip
-        qq = (chip_res_e + frac0) / dc
-        qf = jnp.floor(qq)
-        shift = drift_e - qf
-        idx_p = jnp.float32(half_r) + shift
-        re_e = corr_scr[:, 2 * e, :]          # [C, R]
-        im_e = corr_scr[:, 2 * e + 1, :]
-        if interp:
-            f_sub = qq - qf
-
-            def pick_b(corr2, idx):
-                return ((1.0 - f_sub) * pick(corr2, idx)
-                        + f_sub * pick(corr2, idx - 1.0))
-        else:
-            pick_b = pick
-        el_f = jnp.float32(el_shift)
-        i_p = pick_b(re_e, idx_p)
-        q_p = pick_b(im_e, idx_p)
-        i_e = pick_b(re_e, idx_p - el_f)
-        q_e = pick_b(im_e, idx_p - el_f)
-        i_l = pick_b(re_e, idx_p + el_f)
-        q_l = pick_b(im_e, idx_p + el_f)
-
-        power = i_p * i_p + q_p * q_p
+        drift_e = drift_all[:, e:e + 1]
+        chip_res_e = chip_all[:, e:e + 1]
+        i_p = i_p_all[:, e:e + 1]
+        q_p = q_p_all[:, e:e + 1]
+        i_e = i_e_all[:, e:e + 1]
+        q_e = q_e_all[:, e:e + 1]
+        i_l = i_l_all[:, e:e + 1]
+        q_l = q_l_all[:, e:e + 1]
+        power = power_all[:, e:e + 1]
+        pll_err = pll_err_all[:, e:e + 1]
+        dll_err = dll_err_all[:, e:e + 1]
         if lock_mode == "costas":
-            nbd = i_p * i_p - q_p * q_p
-            metric = nbd / jnp.maximum(power, 1e-12)
             alpha = jnp.float32(0.1)
             new_le = jnp.where(
-                ac_f > 0.5, (1.0 - alpha) * le_f + alpha * metric, le_f)
+                ac_f > 0.5,
+                (1.0 - alpha) * le_f + alpha * metric_all[:, e:e + 1],
+                le_f)
             locked = new_le > jnp.float32(costas_thr)
         else:
             new_le = le_f
-            locked = power > jnp.float32(lock_threshold)
-
-        safe_ip = jnp.where(jnp.abs(i_p) < 1e-12, 1e-12, i_p)
-        pll_err = _atan_poly(q_p / safe_ip) * jnp.float32(1.0 / TWO_PI)
+            locked = locked_all[:, e:e + 1]
         carr_nco = pll_err * jnp.float32(pll_c1) + (
             pll_err - ce_f) * jnp.float32(pll_c2)
-        pow_e = jnp.sqrt(i_e * i_e + q_e * q_e)
-        pow_l = jnp.sqrt(i_l * i_l + q_l * q_l)
-        el_sum = pow_e + pow_l
-        dll_err = jnp.where(
-            el_sum > 0.0,
-            (pow_e - pow_l) / jnp.maximum(el_sum, 1e-12), 0.0)
         code_nco = dll_err * jnp.float32(dll_c1) + (
             dll_err - de_f) * jnp.float32(dll_c2)
 

@@ -142,6 +142,16 @@ class TestMxuTracking:
         for ch in range(C):
             assert abs(cf[ch] - DOPPLERS[ch]) < 15.0
 
+    def test_carrier_aiding(self):
+        """Aided effective code rate flows through the held-rate
+        superstep math (the TTFF/live configuration)."""
+        st, telems = _run_layout("mxu", T=20, B=6, carrier_aiding=True)
+        for tl in telems[1:]:
+            assert np.mean(tl.locked) > 0.95
+        cf = np.asarray(st.carr_freq)
+        for ch in range(C):
+            assert abs(cf[ch] - DOPPLERS[ch]) < 15.0, ch
+
 
 class TestMxuScan:
     def test_run_blocks_matches_per_block(self):
