@@ -126,7 +126,7 @@ def _run_fused(args, jax, jnp):
     )
 
     def run_span(n):
-        led_f, _ys = scan_fn(bre, bim, codes_rows, led0, n)
+        led_f, _ys, _extra = scan_fn(bre, bim, codes_rows, led0, n)
         # timing rule (tools/mxu_verify.py finding): block_until_ready
         # can ack BEFORE completion over the tunneled device transport —
         # only a device_get of a value that depends on the whole
@@ -410,7 +410,11 @@ def _run_ttff(args, jax):
     def check(r):
         if len(r.nav.ephemerides) < 4:
             return False
-        sol = r.compute_pvt()
+        # FIRST fix semantics: accept the earliest solvable epoch and
+        # report its quality — the receiver's steady-state GDOP gate
+        # (Receiver.compute_pvt) would hold a marginal 4-satellite
+        # geometry back, which is a masking policy, not a TTFF
+        sol = r.nav.compute_pvt(0, r.f_if, r.spec.carrier_freq_hz)
         if sol is None:
             return False
         state["fix"] = sol
@@ -430,6 +434,8 @@ def _run_ttff(args, jax):
         "ttff_wall_s": round(state["wall"], 3),
         "ttff_signal_s": round(rx.time_ms / 1000.0, 1),
         "fix_err_m": round(err, 1),
+        "fix_gdop": round(float(state["fix"].gdop), 1),
+        "n_eph": len(rx.nav.ephemerides),
     }
 
 

@@ -1242,6 +1242,18 @@ def _mxu_run_k(
                 (12, n_t_f), (13, drift_e), (14, chip_res_e * wr),
                 (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
                 (16, wr),
+                # 17-20: the superstep's HELD NCO rates and the
+                # KERNEL'S OWN per-epoch ledger increments — constant
+                # within a superstep, they let the slim2 wire replay
+                # the chip/drift ledger on the host (drift
+                # integer-exact; chip to ~1e-5 chips) with no
+                # per-epoch f32 columns on the wire. The increments
+                # ship directly because recomputing them from the
+                # rates is NOT bit-stable: the compiler strength-
+                # reduces the constant-divisor rate/fs division to a
+                # multiply-by-reciprocal the host cannot replicate.
+                (17, carr_freq), (18, code_rate),
+                (19, d_chip), (20, d_drift),
             ])
         cf_f, ce_f, cr_f, de_f = new_cf, new_ce, new_cr, new_de
         lo_f, le_f = new_lo, jnp.where(died, 0.0, new_le)

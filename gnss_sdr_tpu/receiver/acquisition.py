@@ -276,6 +276,65 @@ class AcquisitionEngine:
         return self._search_grid(samples, self.grid, window_offset,
                                  allowed_prns)
 
+    def conv_search_device(self, s_re, s_im):
+        """Raw conv search as a JIT-COMPOSABLE graph piece: full PRN
+        batch, identity selection, device arrays in and out — no host
+        logic. The steady-state receiver embeds this INSIDE the
+        multi-block scan program (FusedTracker.span_extra), so the
+        paced re-search costs zero extra host round trips; candidates
+        form host-side afterwards (candidates_from_conv). Only valid
+        for the conv engine (accelerator backends)."""
+        if self.engine != "conv":
+            raise ValueError("conv_search_device requires engine='conv'")
+        n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
+        return pcps.acquire_conv.__wrapped__(
+            s_re, s_im,
+            self._codes_dev, self._codes_coarse_dev,
+            self._sel_identity,
+            np.ascontiguousarray(self.grid, dtype=np.float32),
+            fs_hz=self.fs_hz, n_int=n_int, decim=self.decim,
+            threshold=self._default_threshold(n_int, self.grid),
+            seg_width=self.cfg.seg_width,
+            fine=self.cfg.fine_doppler,
+            fine_window_hz=float(self.cfg.doppler_step_hz),
+            fine_squaring=self._fine_squaring,
+            fine_n_sub=self._fine_n_sub,
+        )
+
+    def candidates_from_conv(self, res, window_offset: int,
+                             allowed_prns: Optional[set[int]]
+                             ) -> list[Candidate]:
+        """Host-side candidate forming from a (downloaded)
+        conv_search_device result — the back half of
+        _search_conv_grid, split out for the in-scan path."""
+        detected = np.asarray(res.detected)
+        if not detected.any():
+            return []
+        freqs = np.asarray(res.carrier_freq_hz)
+        rowmap = list(range(1, self.code_samples.shape[0] + 1))
+        return self._build_candidates(
+            res, freqs, rowmap, window_offset, allowed_prns)
+
+    def _default_threshold(self, n_int: int, grid) -> float:
+        """Threshold for the default peak/avg detector, with the
+        coherent-grouping auto-rescale (the in-scan path supports the
+        default detector only — the conv op takes one scalar)."""
+        cfg = self.cfg
+        threshold = cfg.detection_threshold
+        k = max(1, cfg.coherent_ms // self.spec.code_period_ms)
+        if cfg.threshold_auto_scale and (
+            k > 1 or cfg.bit_edge_hypotheses > 1
+        ):
+            threshold = pcps.peak_avg_threshold(
+                threshold,
+                n_groups=pcps.coherent_group_count(
+                    n_int, k, cfg.bit_edge_hypotheses
+                ),
+                n_cells=float(len(grid)) * self.n_fft,
+                hypotheses=cfg.bit_edge_hypotheses,
+            )
+        return threshold
+
     def _search_grid(
         self,
         samples: np.ndarray,

@@ -46,6 +46,9 @@ from . import tracking as trk
 _U32 = 4294967296.0
 N_DRIFT = 5
 N_TELEM_COLS = 17   # used telemetry columns (kernel docstring)
+# the mxu kernel adds cols 17-20 (held NCO rates + ledger increments
+# per superstep — the slim2 wire's ledger-replay anchors)
+N_TELEM_COLS_MXU = 21
 
 
 class FusedTracker:
@@ -74,9 +77,8 @@ class FusedTracker:
                 f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
         if layout not in ("mxu", "direct", "seg", "windows"):
             raise ValueError(f"unknown fused layout {layout!r}")
-        if wire not in ("f32", "slim"):
+        if wire not in ("f32", "slim", "slim2"):
             raise ValueError(f"unknown telemetry wire {wire!r}")
-        self.wire = wire
         # diagnostic-column stride for the slim wire: the largest
         # divisor of t_epochs <= 8 (5 ms cadence at 1 ms epochs)
         self.wire_stride = next(
@@ -93,6 +95,12 @@ class FusedTracker:
             layout = "direct"       # odd t_epochs: no superstep pairing
         if layout == "direct" and fused.choose_k(t_epochs) is None:
             layout = "seg"          # odd t_epochs: no superstep pairing
+        if wire == "slim2" and layout != "mxu":
+            # slim2's exact host-side ledger reconstruction rides the
+            # mxu kernel's held-rate columns (17/18); other layouts
+            # change rates per epoch
+            wire = "slim"
+        self.wire = wire
         self.params = params
         self.spec = spec
         self.fs = fs_hz
@@ -191,6 +199,13 @@ class FusedTracker:
             self._step = par_mod.shard_fused_step(mesh, self._step)
         self.mesh = mesh
         self._scan_fn = None      # built lazily by run_blocks
+        # optional extra computation fused into the span program:
+        # span_extra(stream_re, stream_im) -> pytree runs INSIDE the
+        # run_blocks jit (e.g. the paced acquisition search — zero
+        # extra host round trips); its device_get result lands in
+        # last_span_extra after each run_blocks call
+        self.span_extra = None
+        self.last_span_extra = None
 
     # ------------------------------------------------------------------
     def run_block(self, state: trk.ChannelState, block_re, block_im,
@@ -422,6 +437,99 @@ class FusedTracker:
         )
 
     # ------------------------------------------------------------------
+    def _pack_wire2(self, telem_m):
+        """slim2: the mxu-exact wire. Per epoch only prompt I/Q (bf16)
+        and packed flags (int8) cross the wire — 5 bytes/epoch/channel.
+        The per-epoch chip/drift ledger is NOT shipped: it is pure f32
+        arithmetic in the superstep's held NCO rates (kernel cols
+        17/18, one f32 pair per superstep), which the host replays
+        bit-exactly (_telem_from_wire2). E/L correlators and loop
+        errors ride at 2K stride (diagnostics). ~8.7x fewer bytes than
+        the f32 wire."""
+        k = self.k_epochs
+        iq_p = telem_m[:, :, 2:4].astype(jnp.bfloat16)
+        flags = (telem_m[:, :, 16] + 2.0 * telem_m[:, :, 7]
+                 + 4.0 * telem_m[:, :, 15]).astype(jnp.int8)
+        held = telem_m[::k, :, 17:21]                  # [U, C, 4] f32
+        sub = telem_m[::2 * k]
+        sub_el = jnp.concatenate(
+            [sub[:, :, 0:2], sub[:, :, 4:6]], axis=2).astype(jnp.bfloat16)
+        sub_errs = sub[:, :, 8:10].astype(jnp.bfloat16)
+        return (iq_p, flags, held, sub_el, sub_errs)
+
+    def _telem_from_wire2(self, wire_b, offset0, epochs0, cp0
+                          ) -> trk.EpochTelemetry:
+        """EpochTelemetry from one block's slim2 wire: the chip/drift
+        ledger (chip_phase, start_offset) reconstructs EXACTLY —
+        np.float32 replays the kernel's own held-rate arithmetic
+        (chip_e = chip0 + e*d_chip in-superstep; chip0 += n_act*d_chip
+        at boundaries, n_act from the processed flags). Prompt I/Q is
+        bf16; E/L, loop errors and NCO-rate traces repeat their
+        superstep samples (documented slim-wire semantics)."""
+        iq_p, flags, held, sub_el, sub_errs = wire_b
+        t = self.t_epochs
+        k = self.k_epochs
+        u_count = t // k
+        c = iq_p.shape[1]
+        s2 = 2 * k
+
+        i_p = iq_p[:, :, 0].astype(np.float32)
+        q_p = iq_p[:, :, 1].astype(np.float32)
+        fl = flags.astype(np.int32)
+        processed = (fl & 1) > 0
+        locked = (fl & 2) > 0
+        lost_event = (fl & 4) > 0
+
+        # replay the kernel's held-rate ledger from ITS OWN per-epoch
+        # increments (cols 19/20, constant within a superstep), in f64:
+        # drift is integer arithmetic (exact); chip accumulates one
+        # f32-vs-f64 rounding per superstep, bounded by ~1e-5 chips
+        # (~3 mm of pseudorange) over a block
+        cf_held = held[:, :, 0]                        # [U, C] f32
+        cr_held = held[:, :, 1]
+        d_chip = held[:, :, 2].astype(np.float64)
+        d_drift = held[:, :, 3].astype(np.float64)
+        n_act = processed.reshape(u_count, k, c).sum(1).astype(
+            np.float64)
+        ef = np.arange(k, dtype=np.float64)[:, None]   # [K, 1]
+        chip_e = np.empty((t, c), np.float64)
+        drift_e = np.empty((t, c), np.float64)
+        chip0 = np.zeros(c, np.float64)
+        drift0 = np.zeros(c, np.float64)
+        for u in range(u_count):
+            chip_e[u * k:(u + 1) * k] = chip0 + ef * d_chip[u]
+            drift_e[u * k:(u + 1) * k] = drift0 + ef * d_drift[u]
+            chip0 = chip0 + n_act[u] * d_chip[u]
+            drift0 = drift0 + n_act[u] * d_drift[u]
+
+        def rep(a, s):
+            return np.repeat(np.asarray(a, np.float32), s, axis=0)[:t]
+
+        t_idx = np.arange(t, dtype=np.int64)[:, None]
+        start_offset = offset0[None, :].astype(np.int64) \
+            + t_idx * self.n0 + drift_e.astype(np.int64)
+        epoch_index = epochs0[None, :].astype(np.int64) \
+            + np.cumsum(processed, axis=0) - processed
+        chip_phase = np.mod(
+            cp0[None, :] + np.where(processed, chip_e, 0.0),
+            float(self.spec.code_length_chips))
+        return trk.EpochTelemetry(
+            processed=processed,
+            i_e=rep(sub_el[:, :, 0], s2), q_e=rep(sub_el[:, :, 1], s2),
+            i_p=i_p, q_p=q_p,
+            i_l=rep(sub_el[:, :, 2], s2), q_l=rep(sub_el[:, :, 3], s2),
+            power=i_p * i_p + q_p * q_p,
+            locked=locked, lost_event=lost_event,
+            pll_err=rep(sub_errs[:, :, 0], s2),
+            dll_err=rep(sub_errs[:, :, 1], s2),
+            carr_freq=rep(cf_held, k),
+            code_rate=rep(cr_held, k),
+            start_offset=start_offset.astype(np.int32),
+            epoch_index=epoch_index.astype(np.int32),
+            chip_phase=chip_phase.astype(np.float32),
+        )
+
+    # ------------------------------------------------------------------
     # Multi-block device-resident scan: the per-block re-anchor runs
     # IN-GRAPH, so the host syncs ONCE per n_blocks blocks.
     # ------------------------------------------------------------------
@@ -468,14 +576,21 @@ class FusedTracker:
                          .astype(np.float64) / _U32).astype(np.float32)),
             jnp.asarray(fcols),
         )
-        led_f, ys = jax.device_get(self._scan_fn(
+        led_f, ys, extra = jax.device_get(self._scan_fn(
             jnp.asarray(stream_re), jnp.asarray(stream_im),
             codes_rows, led0, n_blocks))
+        self.last_span_extra = extra if self.span_extra is not None \
+            else None
         telems_m, aux_off, aux_ep, aux_ci, aux_cf = ys
         telems = []
         for b in range(n_blocks):
             cp0 = aux_ci[b].astype(np.float64) + aux_cf[b]
-            if self.wire == "slim":
+            if self.wire == "slim2":
+                telems.append(self._telem_from_wire2(
+                    tuple(w[b] for w in telems_m),
+                    aux_off[b].astype(np.int64),
+                    aux_ep[b].astype(np.int64), cp0))
+            elif self.wire == "slim":
                 telems.append(self._telem_from_wire(
                     tuple(w[b] for w in telems_m),
                     aux_off[b].astype(np.int64),
@@ -518,7 +633,9 @@ class FusedTracker:
         aid = np.float32(self.aiding_scale)
         iff = np.float32(self.if_freq)
         step = self._step
-        pack = self._pack_wire if self.wire == "slim" else None
+        pack = {"slim": self._pack_wire, "slim2": self._pack_wire2,
+                "f32": None}[self.wire]
+        span_extra = self.span_extra
 
         @functools.partial(jax.jit, static_argnames=("n_blocks",))
         def scan_fn(stream_re, stream_im, codes_rows, led0, n_blocks):
@@ -585,8 +702,11 @@ class FusedTracker:
                 telem_out = (pack(telem_m) if pack is not None
                              else telem_m)
                 return led_n, (telem_out, offset_w, epochs, ci, cf)
-            return jax.lax.scan(body, led0,
-                                jnp.arange(n_blocks, dtype=jnp.int32))
+            led_f, ys = jax.lax.scan(body, led0,
+                                     jnp.arange(n_blocks, dtype=jnp.int32))
+            extra = (span_extra(stream_re, stream_im)
+                     if span_extra is not None else ())
+            return led_f, ys, extra
         return scan_fn
 
 
@@ -766,4 +886,4 @@ def _fused_block_step_mxu(block_re, block_im,
         costas_thr=costas_thr, interp=interp,
         interpret=interpret,
     )
-    return telem[:, :, :N_TELEM_COLS], st
+    return telem[:, :, :N_TELEM_COLS_MXU], st

@@ -159,16 +159,20 @@ class Receiver:
 
             # a mesh channel-shards the fused kernel (shard_fused_step:
             # each device tracks its own channel rows, zero collectives)
-            wire = cfg.track.telemetry_wire
-            if wire == "auto":
-                # slim wire on accelerator backends: the steady-state
-                # span download is the e2e bottleneck there; CPU keeps
-                # the bit-exact f32 wire (test/parity format)
-                wire = "f32" if jax.default_backend() == "cpu" else "slim"
             layout = cfg.track.fused_layout
             if layout == "auto":
                 layout = ("direct" if jax.default_backend() == "cpu"
                           else "mxu")
+            wire = cfg.track.telemetry_wire
+            if wire == "auto":
+                # slim wire on accelerator backends: the steady-state
+                # span download is the e2e bottleneck there (slim2 =
+                # the mxu-exact 5-byte/epoch format); CPU keeps the
+                # bit-exact f32 wire (test/parity format)
+                if jax.default_backend() == "cpu":
+                    wire = "f32"
+                else:
+                    wire = "slim2" if layout == "mxu" else "slim"
             self.fused = FusedTracker(
                 self.params, cfg.track, self.spec, self.fs,
                 self.codes_full, self.epochs_per_block,
@@ -177,6 +181,21 @@ class Receiver:
             )
         self.engine = AcquisitionEngine(cfg.acq, self.spec, self.fs, self.f_if)
         self.scheduler = SearchScheduler(cfg.acq)
+        # in-scan acquisition: the conv engine's search embeds INSIDE
+        # the steady-state span program (FusedTracker.span_extra), so
+        # the paced re-search costs zero extra host round trips — its
+        # candidate arrays ride the span download (_process_span).
+        self._span_acq = False
+        if (self.fused is not None and self.engine.engine == "conv"
+                and self.fused.layout in ("direct", "mxu")):
+            _eng = self.engine
+            _n = self.acq_len
+
+            def _span_search(sre, sim):
+                return _eng.conv_search_device(sre[-_n:], sim[-_n:])
+
+            self.fused.span_extra = _span_search
+            self._span_acq = True
         self.telemetry = TelemetryLog(cfg.track.n_channels)
         self.nav = NavProcessor(
             self.fs, self.spec.code_period_s, self.spec.code_length_chips,
@@ -205,6 +224,16 @@ class Receiver:
             return
         cands = self.engine.search(chunk, window_offset=w0, allowed_prns=allowed)
         self.scheduler.mark_run(self.time_ms)
+        self._handoff(cands)
+
+    def _handoff(self, cands) -> None:
+        """Hand acquisition candidates to idle tracking channels."""
+        if not cands:
+            return
+        # state leaves are numpy-backed after a fused span/block (the
+        # runner absorbs host-side); start_channel's .at updates need
+        # jax arrays — [C]-sized, so the round trip is noise
+        self.state = jax.tree.map(jnp.asarray, self.state)
         for cand in cands:
             if cand.prn in self.active:
                 continue
@@ -439,6 +468,26 @@ class Receiver:
                 # once per span — all the telemetry is already here
                 self.time_ms += self.cfg.block_ms
                 self._emit_observables()
+        # in-scan paced re-search: the span program already computed
+        # the full-constellation conv search on the stream tail (the
+        # exact chunk the boundary search would use); consume it here
+        # so run() never pays a separate search dispatch in steady
+        # state. mark_run gates run()'s own fallback via due().
+        if self._span_acq and self.fused.last_span_extra is not None:
+            have_enough = (self.window.blocks_fed * self.block
+                           >= self.acq_len)
+            if have_enough and self.scheduler.due(self.time_ms):
+                with self.timers.stage("acquire", self.acq_len):
+                    allowed = set(self.scheduler.candidates(
+                        set(self.active)))
+                    if allowed:
+                        cands = self.engine.candidates_from_conv(
+                            self.fused.last_span_extra,
+                            window_offset=(self.history + self.block
+                                           - self.acq_len),
+                            allowed_prns=allowed)
+                        self.scheduler.mark_run(self.time_ms)
+                        self._handoff(cands)
         self.scheduler.update_mode(len(self.active))
         return k
 

@@ -121,6 +121,16 @@ class TestSlimWire:
                 np.asarray(getattr(st_ref, f)),
                 np.asarray(getattr(st_slim, f)), err_msg=f)
 
+    def test_slim2_requires_mxu(self):
+        cfg = TrackConfig(n_channels=2, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
+                                              window=params.window)
+        ft = fr.FusedTracker(params, cfg, GPS_L1CA, FS, codes_s, 20,
+                             2 * N0 + 4096 + 20 * N0, layout="direct",
+                             wire="slim2")
+        assert ft.wire == "slim"    # downgraded: no held-rate columns
+
     def test_receiver_auto_wire_cpu_is_f32(self):
         from gnss_sdr_tpu import ReceiverConfig, RfConfig
         from gnss_sdr_tpu.config import AcqConfig
