@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--fs", type=float, default=None)
     ap.add_argument("--channels", type=int, default=None)
     ap.add_argument("--block-ms", type=int, default=500)
-    ap.add_argument("--blocks", type=int, default=20)
+    # slope timing must run LONG past the tunnel's ~30-60 ms sync
+    # quantum: at ~5 ms/signal-s the n2-n1 device-time delta needs
+    # >= ~100 ms to be quantum-proof (None = per-preset default)
+    ap.add_argument("--blocks", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--engine", choices=["auto", "xla", "fused"],
                     default="auto")
@@ -58,6 +61,8 @@ def main():
         args.fs = preset_fs[args.preset]
     if args.channels is None:
         args.channels = preset_ch[args.preset]
+    if args.blocks is None:
+        args.blocks = 48 if args.preset == "headline" else 20
     try:
         _run(args)
     except Exception as e:  # noqa: BLE001
@@ -447,7 +452,12 @@ def _run(args):
     # persistent compile cache: repeated bench runs skip the 20-40 s
     # first-compile cost
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache")
+        # per-backend cache dir: mixed-backend entries in one dir can
+        # segfault on deserialization (see receiver/pipeline.py note)
+        if jax.default_backend() != "cpu":
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                f"/tmp/gnss_jax_cache_{jax.default_backend()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -968,6 +968,7 @@ def _mxu_run_k(
     costas_thr: float,
     interp: bool,
     ablate: str = "",
+    telem_mode: str = "full",
 ):
     """One K-epoch superstep, MXU formulation.
 
@@ -1034,11 +1035,12 @@ def _mxu_run_k(
         # before the nominal epoch lane. The per-epoch kernels roll
         # the SELECTED replica right by rem_i; here the bank is
         # correlated wholesale, so the WINDOW rolls left instead (the
-        # wrapped tail lanes land outside the epoch mask). After the
-        # roll, lane bookkeeping is residue-free: only the per-channel
-        # rem_c0 remains, carried by col 9 + the bank's lane_shift.
+        # wrapped tail lanes are already masked to zero). Mixing and
+        # masking happen BEFORE the roll in the slice's own lane frame
+        # (sl includes rem_i), so the roll moves bf16 — half the bytes
+        # of rolling the f32 inputs.
         rem_i = rem_e + rem_j
-        sl = woff + drift_e
+        sl = woff + drift_e + jnp.float32(rem_e) + rem_j_f
         # phase referenced to the epoch body start (lane sl):
         # theta(l) = 2pi*(phi0 + l*step), phi0 = phase_e - sl*step
         phi0 = carr_phase + ef * adv - sl * step
@@ -1050,22 +1052,35 @@ def _mxu_run_k(
         a_s = jnp.sin(th_a)
         b_c = jnp.cos(th_b)
         b_s = jnp.sin(th_b)
-        cth_parts, sth_parts = [], []
-        for qi in range(w128):
-            ac = a_c[:, qi:qi + 1]
-            as_ = a_s[:, qi:qi + 1]
-            cth_parts.append(ac * b_c - as_ * b_s)
-            sth_parts.append(as_ * b_c + ac * b_s)
-        cth = jnp.concatenate(cth_parts, axis=1)
-        sth = jnp.concatenate(sth_parts, axis=1)
-        lshift = jnp.where(rem_i == 0, 0, wp - rem_i)
-        wre = pltpu.roll(wre_slot[:, 0, a_e:a_e + wp], lshift, 1)
-        wim = pltpu.roll(wim_slot[:, 0, a_e:a_e + wp], lshift, 1)
+        # assemble the outer product A[q]*B[r] over lane l = 128q + r
+        # with a handful of whole-row ops instead of a w128-step
+        # concat loop (the loop was ~120 small [C, 128] ops per
+        # epoch): pltpu.repeat TILES b to lane l % 128; a constant
+        # 0/1 expansion matmul lifts a to lane l // 128 (E[q, l] =
+        # (l//128 == q), const-folded; tiny-K MXU work).
+        exp_q = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 0)
+        exp_l = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 1)
+        e_mat = (jax.lax.shift_right_logical(exp_l, 7)
+                 == exp_q).astype(jnp.float32)
+        ra_c = jnp.dot(a_c[:, :w128], e_mat,
+                       preferred_element_type=jnp.float32)
+        ra_s = jnp.dot(a_s[:, :w128], e_mat,
+                       preferred_element_type=jnp.float32)
+        tb_c = pltpu.repeat(b_c, w128, 1)             # [C, wp]
+        tb_s = pltpu.repeat(b_s, w128, 1)
+        cth = ra_c * tb_c - ra_s * tb_s
+        sth = ra_s * tb_c + ra_c * tb_s
+        wre = wre_slot[:, 0, a_e:a_e + wp]
+        wim = wim_slot[:, 0, a_e:a_e + wp]
         in_ep = jnp.logical_and(lane >= sl, lane < sl + n_t_f)
         mask = in_ep.astype(jnp.float32)
-        w_scr[2 * e] = ((wre * cth + wim * sth) * mask).astype(
-            jnp.bfloat16)
-        w_scr[2 * e + 1] = ((wim * cth - wre * sth) * mask).astype(
+        m_re = (wre * cth + wim * sth) * mask
+        m_im = (wim * cth - wre * sth) * mask
+        # f32 rolls: Mosaic's dynamic rotate has no bf16 lowering
+        # ("Rotate with non-32-bit data" — found on-chip)
+        lshift = jnp.where(rem_i == 0, 0, wp - rem_i)
+        w_scr[2 * e] = pltpu.roll(m_re, lshift, 1).astype(jnp.bfloat16)
+        w_scr[2 * e + 1] = pltpu.roll(m_im, lshift, 1).astype(
             jnp.bfloat16)
 
     if "nosmall" in ablate:          # profiling hook: stages 1+2 only
@@ -1231,30 +1246,46 @@ def _mxu_run_k(
         if "notelem" in ablate:      # profiling hook: minimal telemetry
             telem_ref[telem_base + e] = scatter([(2, i_p * wr)])
         else:
-            telem_ref[telem_base + e] = scatter([
-                (0, i_e * wr), (1, q_e * wr), (2, i_p * wr),
-                (3, q_p * wr),
-                (4, i_l * wr), (5, q_l * wr), (6, power * wr),
-                (7, jnp.where(upd, 1.0, 0.0)), (8, pll_err * wr),
-                (9, dll_err * wr),
+            # per-epoch essentials (the slim2 wire's full per-epoch
+            # set: prompt I/Q + lifecycle flags)
+            pairs = [
+                (2, i_p * wr), (3, q_p * wr),
+                (7, jnp.where(upd, 1.0, 0.0)),
+                (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
+                (16, wr),
+            ]
+            # 17-20: the superstep's HELD NCO rates and the KERNEL'S
+            # OWN per-epoch ledger increments — constant within a
+            # superstep, they let the slim2 wire replay the chip/drift
+            # ledger on the host (drift integer-exact; chip to ~1e-5
+            # chips) with no per-epoch f32 columns on the wire. The
+            # increments ship directly because recomputing them from
+            # the rates is NOT bit-stable: the compiler strength-
+            # reduces the constant-divisor rate/fs division to a
+            # multiply-by-reciprocal the host cannot replicate.
+            stride_pairs = [
+                (0, i_e * wr), (1, q_e * wr),
+                (4, i_l * wr), (5, q_l * wr),
+                (8, pll_err * wr), (9, dll_err * wr),
+                (17, carr_freq), (18, code_rate),
+                (19, d_chip), (20, d_drift),
+            ]
+            full_pairs = [
+                (6, power * wr),
                 (10, jnp.where(act_e, new_cf, cf_f)),
                 (11, jnp.where(act_e, new_cr, cr_f)),
                 (12, n_t_f), (13, drift_e), (14, chip_res_e * wr),
-                (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
-                (16, wr),
-                # 17-20: the superstep's HELD NCO rates and the
-                # KERNEL'S OWN per-epoch ledger increments — constant
-                # within a superstep, they let the slim2 wire replay
-                # the chip/drift ledger on the host (drift
-                # integer-exact; chip to ~1e-5 chips) with no
-                # per-epoch f32 columns on the wire. The increments
-                # ship directly because recomputing them from the
-                # rates is NOT bit-stable: the compiler strength-
-                # reduces the constant-divisor rate/fs division to a
-                # multiply-by-reciprocal the host cannot replicate.
-                (17, carr_freq), (18, code_rate),
-                (19, d_chip), (20, d_drift),
-            ])
+            ]
+            if telem_mode == "lean":
+                # slim2 scan path: the wire reads diagnostics only at
+                # superstep-start epochs — the 21-column scatter
+                # measured 1.3 ms/signal-s; this writes 5 columns per
+                # epoch + 10 once per superstep
+                if e == 0:
+                    pairs = pairs + stride_pairs
+            else:
+                pairs = pairs + stride_pairs + full_pairs
+            telem_ref[telem_base + e] = scatter(pairs)
         cf_f, ce_f, cr_f, de_f = new_cf, new_ce, new_cr, new_de
         lo_f, le_f = new_lo, jnp.where(died, 0.0, new_le)
         ac_f = new_ac
@@ -1305,6 +1336,7 @@ def _mxu_kernel(
     costas_thr: float,
     interp: bool,
     ablate: str = "",
+    telem_mode: str = "full",
 ):
     """Direct-DMA double-buffered superstep pipeline (same structure as
     _direct_kernel) driving the MXU correlation superstep."""
@@ -1354,7 +1386,7 @@ def _mxu_kernel(
             dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
             aiding_scale=aiding_scale, if_freq=if_freq,
             lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
-            ablate=ablate)
+            ablate=ablate, telem_mode=telem_mode)
 
     drain(j0, w0r, w0i, 0)
     st = run(state[:, :], j0, w0r, w0i, 0)
@@ -1378,7 +1410,7 @@ def _mxu_kernel(
         "t_epochs", "k_epochs", "n0", "wp", "fs", "code_len",
         "lock_threshold", "max_lost", "pll_c1", "pll_c2", "dll_c1",
         "dll_c2", "el_shift", "interpret", "aiding_scale", "if_freq",
-        "lock_mode", "costas_thr", "interp", "ablate",
+        "lock_mode", "costas_thr", "interp", "ablate", "telem_mode",
     ),
 )
 def track_block_fused_mxu(
@@ -1408,6 +1440,7 @@ def track_block_fused_mxu(
     costas_thr: float = 0.4,
     interp: bool = False,
     ablate: str = "",
+    telem_mode: str = "full",
 ):
     """MXU-layout fused tracking: T epochs, ONE kernel launch, the
     E/P/L correlation of each K-epoch superstep as ONE block-diagonal
@@ -1462,7 +1495,7 @@ def track_block_fused_mxu(
             pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
             el_shift=el_shift, aiding_scale=aiding_scale,
             if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
-            interp=interp, ablate=ablate,
+            interp=interp, ablate=ablate, telem_mode=telem_mode,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),

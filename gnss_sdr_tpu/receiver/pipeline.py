@@ -46,12 +46,20 @@ class Receiver:
         tune_host_allocator()
         # persistent XLA compile cache: the acquisition graphs take
         # minutes to compile on a TPU backend; without this every fresh
-        # process pays it again (respects a user-set cache dir)
+        # process pays it again (respects a user-set cache dir).
+        # ACCELERATOR BACKENDS ONLY, one dir per backend: a shared dir
+        # accumulates CPU AOT executables whose machine-feature flags
+        # came from another environment (the tunneled backend's host),
+        # and deserializing those SEGFAULTS the process (observed:
+        # cpu_aot_loader "+prefer-no-scatter not supported" then
+        # SIGSEGV in compilation_cache.get_executable_and_time)
         import jax as _jax
 
-        if _jax.config.jax_compilation_cache_dir is None:
-            _jax.config.update("jax_compilation_cache_dir",
-                               "/tmp/gnss_jax_cache")
+        if (_jax.config.jax_compilation_cache_dir is None
+                and _jax.default_backend() != "cpu"):
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                f"/tmp/gnss_jax_cache_{_jax.default_backend()}")
 
         # Digital front end (reference L2): mixes out the IF and/or
         # decimates before the window, so everything downstream runs at

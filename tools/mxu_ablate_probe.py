@@ -23,7 +23,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache_" + jax.default_backend())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from gnss_sdr_tpu.config import TrackConfig           # noqa: E402
@@ -37,7 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--t-epochs", type=int, default=500)
-    ap.add_argument("--blocks", type=int, default=8)
+    # chains must run LONG past the tunnel's ~30-60 ms sync quantum or
+    # the slope is noise (device time at ~4 ms/signal-s is only ~2 ms
+    # per 500 ms block)
+    ap.add_argument("--blocks", type=int, default=64)
     args = ap.parse_args()
 
     spec = GPS_L1CA
@@ -77,7 +80,7 @@ def main():
     ).astype(jnp.bfloat16)
     p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
 
-    def kernel_chain(n, ablate):
+    def kernel_chain(n, ablate, telem_mode="full"):
         @jax.jit
         def f(st, b0):
             def body(carry, b):
@@ -90,7 +93,8 @@ def main():
                     lock_threshold=cfg.lock_threshold,
                     max_lost=cfg.max_lost_epochs,
                     pll_c1=p1, pll_c2=p2, dll_c1=d1, dll_c2=d2,
-                    el_shift=params.el_shift, ablate=ablate)
+                    el_shift=params.el_shift, ablate=ablate,
+                    telem_mode=telem_mode)
                 so = jnp.concatenate(
                     [so[:, :1] * 0 + mat[:, :1], so[:, 1:]], axis=1)
                 return mat + 1e-20 * so, telem[0, 0, 0]
@@ -112,7 +116,7 @@ def main():
             return out, ys
         return f
 
-    n1, n2 = 2, args.blocks
+    n1, n2 = max(2, args.blocks // 8), args.blocks
     sig_s = t_epochs / 1000.0
 
     def measure(name, mk):
@@ -136,6 +140,8 @@ def main():
 
     measure("kernel/nosmall", lambda n: kernel_chain(n, "nosmall"))
     measure("kernel/notelem", lambda n: kernel_chain(n, "notelem"))
+    measure("kernel/lean", lambda n: kernel_chain(n, "",
+                                                  telem_mode="lean"))
     measure("kernel/full", lambda n: kernel_chain(n, ""))
     measure("step(+reps)", step_chain)
 

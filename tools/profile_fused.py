@@ -60,7 +60,7 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gnss_jax_cache_" + jax.default_backend())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from gnss_sdr_tpu.config import TrackConfig
