@@ -1076,6 +1076,10 @@ def _mxu_run_k(
         mask = in_ep.astype(jnp.float32)
         m_re = (wre * cth + wim * sth) * mask
         m_im = (wim * cth - wre * sth) * mask
+        if "noroll" in ablate:   # profiling hook: skip alignment rolls
+            w_scr[2 * e] = m_re.astype(jnp.bfloat16)
+            w_scr[2 * e + 1] = m_im.astype(jnp.bfloat16)
+            continue
         # f32 rolls: Mosaic's dynamic rotate has no bf16 lowering
         # ("Rotate with non-32-bit data" — found on-chip)
         lshift = jnp.where(rem_i == 0, 0, wp - rem_i)

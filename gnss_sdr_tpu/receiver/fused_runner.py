@@ -45,6 +45,51 @@ from . import tracking as trk
 
 _U32 = 4294967296.0
 N_DRIFT = 5
+
+
+class _SpanHandle(tuple):
+    """(led, ys, extra, n_blocks) for the pipelined span API — device
+    arrays from an asynchronously dispatched span program."""
+
+    __slots__ = ()
+
+    def __new__(cls, led, ys, extra, n_blocks):
+        return tuple.__new__(cls, (led, ys, extra, n_blocks))
+
+    led = property(lambda s: s[0])
+    ys = property(lambda s: s[1])
+    extra = property(lambda s: s[2])
+    n_blocks = property(lambda s: s[3])
+
+
+@functools.partial(jax.jit, static_argnames=("nominal_rate",))
+def _apply_handoffs(led, channels, carr_freqs, offsets, *,
+                    nominal_rate):
+    """Device-side start_channel for up to 8 handoff slots (-1 = empty):
+    one-hot row masks instead of scatter (the axon backend has no
+    scatter)."""
+    active, offset, epochs, ci, cf, fc = led
+    c = active.shape[0]
+    row = jnp.arange(c, dtype=jnp.int32)
+    for h in range(channels.shape[0]):
+        m = row == channels[h]                        # [-1 matches none]
+        mf = m.astype(jnp.float32)
+        active = jnp.where(m, 1.0, active)
+        offset = jnp.where(m, offsets[h], offset)
+        epochs = jnp.where(m, 0, epochs)
+        ci = jnp.where(m, 0, ci)
+        cf = jnp.where(m, 0.0, cf)
+        new_fc = jnp.stack([
+            jnp.full((c,), carr_freqs[h], jnp.float32),
+            jnp.zeros((c,), jnp.float32),
+            jnp.zeros((c,), jnp.float32),
+            jnp.full((c,), jnp.float32(nominal_rate)),
+            jnp.zeros((c,), jnp.float32),
+            jnp.zeros((c,), jnp.float32),
+            jnp.ones((c,), jnp.float32),   # handoff lock-EMA grace
+        ], axis=1)
+        fc = jnp.where(mf[:, None] > 0.5, new_fc, fc)
+    return (active, offset, epochs, ci, cf, fc)
 N_TELEM_COLS = 17   # used telemetry columns (kernel docstring)
 # the mxu kernel adds cols 17-20 (held NCO rates + ledger increments
 # per superstep — the slim2 wire's ledger-replay anchors)
@@ -551,11 +596,21 @@ class FusedTracker:
         offsets are already rebased past the whole span (the caller
         must NOT rebase again).
         """
-        if self.layout not in ("direct", "mxu"):
-            raise ValueError(
-                "run_blocks requires layout='direct' or 'mxu'")
-        if self._scan_fn is None:
-            self._scan_fn = self._make_scan()
+        handle = self.submit_span(state, stream_re, stream_im,
+                                  codes_rows, n_blocks)
+        telems, extra = self.collect_span(handle)
+        self.last_span_extra = extra
+        return self.absorb_led(state, handle.led), telems
+
+    # ------------------------------------------------------------------
+    # Pipelined span API: submit_span dispatches asynchronously and the
+    # cross-span ledger can CHAIN ON DEVICE (pass handle.led as the
+    # next submit's state) — the host only downloads telemetry
+    # (collect_span) and absorbs the ledger when it actually needs it
+    # (absorb_led). This is what lets the steady-state receiver overlap
+    # span b's download/nav with span b+1's compute.
+    # ------------------------------------------------------------------
+    def _led_from_state(self, state: trk.ChannelState):
         rate = np.asarray(state.code_rate).astype(np.float32)
         fcols = np.stack([
             np.asarray(state.carr_freq, dtype=np.float32),
@@ -567,23 +622,47 @@ class FusedTracker:
             np.asarray(state.lost_count, dtype=np.float32),
             np.asarray(state.lock_ema, dtype=np.float32),
         ], axis=1)                                     # [C, 7]
-        led0 = (
-            jnp.asarray(np.asarray(state.active).astype(np.float32)),
-            jnp.asarray(np.asarray(state.offset).astype(np.int32)),
-            jnp.asarray(np.asarray(state.epochs).astype(np.int32)),
-            jnp.asarray(np.asarray(state.chip_int).astype(np.int32)),
-            jnp.asarray((np.asarray(state.chip_frac_u32)
-                         .astype(np.float64) / _U32).astype(np.float32)),
-            jnp.asarray(fcols),
-        )
-        led_f, ys, extra = jax.device_get(self._scan_fn(
+        return tuple(jax.device_put(x) for x in (
+            np.asarray(state.active).astype(np.float32),
+            np.asarray(state.offset).astype(np.int32),
+            np.asarray(state.epochs).astype(np.int32),
+            np.asarray(state.chip_int).astype(np.int32),
+            (np.asarray(state.chip_frac_u32)
+             .astype(np.float64) / _U32).astype(np.float32),
+            fcols,
+        ))
+
+    def submit_span(self, led_or_state, stream_re, stream_im,
+                    codes_rows, n_blocks: int):
+        """Dispatch one span asynchronously. ``led_or_state`` is a host
+        ChannelState OR a previous handle's ``led`` (device tuple — the
+        zero-sync chaining path). Returns a handle with device arrays
+        (led, ys, extra)."""
+        if self.layout not in ("direct", "mxu"):
+            raise ValueError(
+                "run_blocks requires layout='direct' or 'mxu'")
+        if self._scan_fn is None:
+            self._scan_fn = self._make_scan()
+        # ChannelState is a NamedTuple — distinguish it from the plain
+        # 6-tuple device ledger by its _fields
+        led0 = (self._led_from_state(led_or_state)
+                if hasattr(led_or_state, "_fields")
+                else led_or_state)
+        led_f, ys, extra = self._scan_fn(
             jnp.asarray(stream_re), jnp.asarray(stream_im),
-            codes_rows, led0, n_blocks))
-        self.last_span_extra = extra if self.span_extra is not None \
-            else None
+            codes_rows, led0, n_blocks)
+        return _SpanHandle(led=led_f, ys=ys, extra=extra,
+                           n_blocks=n_blocks)
+
+    def collect_span(self, handle):
+        """Download one span's telemetry (+ in-span search output) and
+        build the per-block EpochTelemetry list. Does NOT touch the
+        ledger (stays on device for chaining)."""
+        ys, extra = jax.device_get((handle.ys, handle.extra))
+        extra = extra if self.span_extra is not None else None
         telems_m, aux_off, aux_ep, aux_ci, aux_cf = ys
         telems = []
-        for b in range(n_blocks):
+        for b in range(handle.n_blocks):
             cp0 = aux_ci[b].astype(np.float64) + aux_cf[b]
             if self.wire == "slim2":
                 telems.append(self._telem_from_wire2(
@@ -599,8 +678,15 @@ class FusedTracker:
                 telems.append(self._telem_from(
                     telems_m[b], aux_off[b].astype(np.int64),
                     aux_ep[b].astype(np.int64), cp0))
-        active_f, offset_f, epochs_f, ci_f, cf_f, fc_f = led_f
-        new_state = state._replace(
+        return telems, extra
+
+    def absorb_led(self, state: trk.ChannelState, led
+                   ) -> trk.ChannelState:
+        """Download a device ledger and fold it back into the exact
+        host ChannelState (the end-of-pipeline / checkpoint sync)."""
+        active_f, offset_f, epochs_f, ci_f, cf_f, fc_f = \
+            jax.device_get(led)
+        return state._replace(
             active=active_f > 0.5,
             offset=offset_f.astype(np.int32),
             epochs=epochs_f.astype(np.int32),
@@ -618,7 +704,22 @@ class FusedTracker:
             code_err=fc_f[:, 4].astype(np.float32),
             lock_ema=fc_f[:, 6].astype(np.float32),
         )
-        return new_state, telems
+
+    def apply_handoffs_device(self, led, channels, carr_freqs, offsets):
+        """Start up to len(channels) channels IN the device ledger (the
+        pipelined path's start_channel — the next span chains off the
+        result without a host sync). Mirrors trk.start_channel's field
+        init; the caller updates codes_rows/prn bookkeeping host-side."""
+        ch = np.full(8, -1, np.int32)
+        fr = np.zeros(8, np.float32)
+        off = np.zeros(8, np.int32)
+        n = min(len(channels), 8)
+        ch[:n] = channels[:n]
+        fr[:n] = carr_freqs[:n]
+        off[:n] = offsets[:n]
+        return _apply_handoffs(
+            led, jnp.asarray(ch), jnp.asarray(fr), jnp.asarray(off),
+            nominal_rate=float(self.spec.code_rate_hz))
 
     def _make_scan(self):
         """jitted (stream, codes, ledger, n_blocks) -> (ledger', ys):

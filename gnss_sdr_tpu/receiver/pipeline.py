@@ -212,6 +212,8 @@ class Receiver:
         self.active: dict[int, int] = {}   # prn -> channel
         self._codes_key = None
         self._codes_ch = None
+        self._pipeline_handoffs: list = []
+        self._pipeline_active_mask = None
         self.time_ms = 0.0
         self.acq_events: list = []
         self.timers = StageTimer()
@@ -500,6 +502,239 @@ class Receiver:
         return k
 
     # ------------------------------------------------------------------
+    def _pipeline_quick(self, extra):
+        """The cheap post-span step that must happen BEFORE the next
+        submit: turn the in-scan search output into queued handoffs."""
+        if (self._span_acq and extra is not None
+                and self.scheduler.due(self.time_ms)):
+            allowed = set(self.scheduler.candidates(set(self.active)))
+            if allowed:
+                cands = self.engine.candidates_from_conv(
+                    extra,
+                    window_offset=(self.history + self.block
+                                   - self.acq_len),
+                    allowed_prns=allowed)
+                self.scheduler.mark_run(self.time_ms)
+                self._pipeline_handoffs.extend(cands)
+
+    def _collect_pipelined(self, handle, g0, on_block, result=None,
+                           skip_quick=False):
+        """Consume one collected span: telemetry, nav, lifecycle,
+        observables, and the in-scan search (whose handoffs are QUEUED
+        for the next submit — the pipelined path's one-span acquisition
+        latency). ``result`` supplies (telems, extra) already fetched
+        by the collector thread. Returns (n_blocks, stop_requested)."""
+        ft = self.fused
+        k = handle.n_blocks
+        if result is None:
+            with self.timers.stage("track", self.block * k):
+                telems, extra = ft.collect_span(handle)
+        else:
+            telems, extra = result
+        with self.timers.stage("nav", self.block * k):
+            for b, telem in enumerate(telems):
+                gs = g0 + (b + 1) * self.block
+                self.telemetry.append_block(telem, gs)
+                if self.cfg.pvt.enable:
+                    self.nav.feed_block(telem, gs)
+                lost = np.asarray(telem.lost_event).any(axis=0)
+                if lost.any():
+                    for prn, ch in list(self.active.items()):
+                        if lost[ch]:
+                            del self.active[prn]
+                            self.telemetry.close_channel(ch)
+                            self.nav.close_channel(ch)
+                            if self._pipeline_active_mask is not None:
+                                self._pipeline_active_mask[ch] = False
+                self.time_ms += self.cfg.block_ms
+                self._emit_observables()
+        if not skip_quick:
+            self._pipeline_quick(extra)
+        self.scheduler.update_mode(len(self.active))
+        stop = bool(on_block is not None and on_block(self))
+        return k, stop
+
+    def _run_pipelined(self, k: int, budget, on_block):
+        """Steady-state span pipeline: spans chain their ledger ON
+        DEVICE (FusedTracker.submit_span/handle.led), so span b+1
+        dispatches before span b's telemetry download — the download
+        and host nav overlap the next span's device compute, and the
+        host syncs once per span for TELEMETRY ONLY. Acquisition
+        handoffs from the in-scan search apply as device ledger
+        updates one span late (documented pipeline latency; cold/warm
+        acquisition never runs pipelined). Returns (blocks, eos)."""
+        import queue as _q
+        import threading
+
+        from .acquisition import SearchMode
+
+        ft = self.fused
+        keep = self.history + self.block
+        led = self.state                  # first submit absorbs host state
+        pending = None                    # (handle, g0) in the collector
+        done = 0
+        leftovers = []
+        eos = False
+        stop = False
+        self._pipeline_handoffs = []
+        self._pipeline_active_mask = np.asarray(self.state.active).copy()
+        prn_mirror = np.asarray(self.state.prn_idx).copy()
+
+        # collector thread: ONLY the pure download+reconstruct
+        # (FusedTracker.collect_span — jax.device_get + numpy); all
+        # receiver-state mutation stays on this thread. The download of
+        # span b then overlaps span b+1's device compute AND this
+        # thread's ingest/nav work.
+        in_q: _q.Queue = _q.Queue(maxsize=1)
+        out_q: _q.Queue = _q.Queue(maxsize=1)
+
+        def _collector():
+            while True:
+                item = in_q.get()
+                if item is None:
+                    return
+                try:
+                    out_q.put((ft.collect_span(item), None))
+                except Exception as e:  # noqa: BLE001
+                    out_q.put((None, e))
+
+        th = threading.Thread(target=_collector, daemon=True)
+        th.start()
+
+        def pop_pending(quick_only: bool = False):
+            """Wait for the collector's result. With ``quick_only``
+            the heavy nav processing is DEFERRED (returned) so the
+            caller can submit the next span first — the nav work then
+            overlaps the collector's next download."""
+            nonlocal pending, done, stop
+            handle, g0 = pending
+            with self.timers.stage("track", self.block * handle.n_blocks):
+                result, err = out_q.get()
+            if err is not None:
+                raise err
+            pending = None
+            if quick_only:
+                self._pipeline_quick(result[1])
+                return (handle, g0, result)
+            n_done, s = self._collect_pipelined(handle, g0, on_block,
+                                                result=result)
+            done += n_done
+            stop = stop or s
+            return None
+
+        while (not stop
+               and self.scheduler.mode == SearchMode.STEADY
+               and (budget is None
+                    or budget - done - (k if pending else 0) >= k)):
+            full = []
+            for _ in range(k):
+                with self.timers.stage("ingest", self.block * self.decim):
+                    pulled = self._pull_block()
+                if pulled is None:
+                    eos = True
+                    break
+                samples, n_valid = pulled
+                if n_valid == self.block:
+                    full.append(samples)
+                else:
+                    leftovers.append((samples, n_valid))
+                    eos = True
+                    break
+            if len(full) < k:
+                # not a full span: remaining blocks flush through the
+                # single-block path after the pipeline drains
+                leftovers = [(s, self.block) for s in full] + leftovers
+                break
+            # wait for the previous span's results (its download ran in
+            # the collector thread while we ingested); only the CHEAP
+            # part (search -> handoff queue) runs before the next
+            # submit — the heavy nav processing is deferred below it so
+            # it overlaps the collector's next download
+            prev = None
+            if pending is not None:
+                prev = pop_pending(quick_only=True)
+            # ---- apply queued handoffs to the device ledger --------
+            if self._pipeline_handoffs:
+                chans, freqs, offs = [], [], []
+                for cand in self._pipeline_handoffs[:8]:
+                    if cand.prn in self.active:
+                        continue
+                    idle = np.where(~self._pipeline_active_mask)[0]
+                    if idle.size == 0:
+                        break
+                    ch = int(idle[0])
+                    # the candidate's boundary scrolled out with the
+                    # stream: re-map through code periodicity into the
+                    # next span's window
+                    delta = cand.sample_local_index - k * self.block
+                    off = self.n0 + (delta % self.n0)
+                    chans.append(ch)
+                    freqs.append(cand.carrier_freq_hz)
+                    offs.append(off)
+                    prn_mirror[ch] = cand.prn - 1
+                    self._pipeline_active_mask[ch] = True
+                    self.active[cand.prn] = ch
+                    self.telemetry.open_channel(ch, cand.prn)
+                    self.nav.open_channel(ch, cand.prn)
+                    self.acq_events.append((self.time_ms, cand))
+                self._pipeline_handoffs = []
+                if chans:
+                    led = ft.apply_handoffs_device(
+                        led, chans, freqs, offs)
+                    self._codes_key = None    # codes refresh below
+            codes_rows = self._codes_for_prns(prn_mirror)
+            # ---- build the span stream on device -------------------
+            parts_re = [self.window.re[self.block:]]
+            parts_im = [self.window.im[self.block:]]
+            for re, im in full:
+                parts_re.append(jnp.asarray(re))
+                parts_im.append(jnp.asarray(im))
+            stream_re = jnp.concatenate(parts_re)
+            stream_im = jnp.concatenate(parts_im)
+            g0 = self.window.global_start
+            handle = ft.submit_span(led, stream_re, stream_im,
+                                    codes_rows, k)
+            led = handle.led
+            # window rolls to the new frontier (device slices, async)
+            self.window.load(stream_re[-keep:], stream_im[-keep:])
+            self.window.global_start = g0 + k * self.block
+            self.window.blocks_fed += k
+            pending = (handle, g0)
+            in_q.put(handle)          # collector starts the download
+            if prev is not None:
+                # heavy nav of span n-1 overlaps span n's download
+                n_done, s = self._collect_pipelined(
+                    prev[0], prev[1], on_block, result=prev[2],
+                    skip_quick=True)
+                done += n_done
+                stop = stop or s
+        if pending is not None:
+            pop_pending()
+        in_q.put(None)
+        th.join(timeout=30.0)
+        # sync the exact host ledger once at pipeline exit
+        self.state = ft.absorb_led(self.state, led)._replace(
+            prn_idx=np.asarray(prn_mirror))
+        self._pipeline_active_mask = None
+        self._codes_key = None
+        if not stop:
+            for samples, n_valid in leftovers:
+                if self._process_block(samples, n_valid):
+                    done += 1
+                    if on_block is not None and on_block(self):
+                        stop = True
+                        break
+        return done, eos or stop
+
+    def _codes_for_prns(self, prn_idx_np):
+        key = ("pipe",) + tuple(prn_idx_np.tolist())
+        if key != self._codes_key:
+            self._codes_key = key
+            self._codes_ch = self.codes_full[
+                jnp.maximum(jnp.asarray(prn_idx_np), 0)]
+        return self._codes_ch
+
+    # ------------------------------------------------------------------
     def enable_observables(
         self,
         rinex_path: Optional[str] = None,
@@ -572,10 +807,11 @@ class Receiver:
             self._obs_last_update_ms = self.time_ms
 
     def run(self, max_blocks: Optional[int] = None,
-            on_block=None, scan_blocks: int = 1) -> dict:
+            on_block=None, scan_blocks: int = 1,
+            span_pipeline: bool = False) -> dict:
         """Drive the stream; ``on_block(receiver)`` fires after every
         processed block or span (live views, progress hooks —
-        utils/live.py).
+        utils/live.py); a truthy return stops the run.
 
         ``scan_blocks > 1`` enables the device-resident steady state:
         once the constellation is in steady search mode, spans of that
@@ -585,6 +821,14 @@ class Receiver:
         the span is the scan path's scheduling quantum). Cold and warm
         starts (scheduler not in steady mode) keep single-block steps,
         so acquisition latency and TTFF are unaffected.
+
+        ``span_pipeline=True`` additionally chains the steady-state
+        spans' ledger ON DEVICE (_run_pipelined): span b+1 dispatches
+        before span b's telemetry downloads, overlapping download +
+        host nav with device compute. Semantics shift: in-scan
+        acquisition handoffs apply one span late (re-mapped through
+        code periodicity), and lost-channel bookkeeping trails by one
+        span. Cold/warm behavior is unchanged.
         """
         from .acquisition import SearchMode
 
@@ -600,6 +844,14 @@ class Receiver:
                     # single-block path — a shrunken span would be a
                     # fresh static shape and a fresh device compile
                     k = 1
+            if k > 1 and span_pipeline:
+                budget = (None if max_blocks is None
+                          else max_blocks - blocks)
+                done, stop = self._run_pipelined(k, budget, on_block)
+                blocks += done
+                if stop or done == 0:
+                    break
+                continue
             if k > 1:
                 done = self.step_scan(k)
                 if done == 0:
