@@ -1251,13 +1251,24 @@ def _mxu_run_k(
             telem_ref[telem_base + e] = scatter([(2, i_p * wr)])
         else:
             # per-epoch essentials (the slim2 wire's full per-epoch
-            # set: prompt I/Q + lifecycle flags)
-            pairs = [
-                (2, i_p * wr), (3, q_p * wr),
-                (7, jnp.where(upd, 1.0, 0.0)),
-                (15, jnp.where(jnp.logical_and(died, act_e), 1.0, 0.0)),
-                (16, wr),
-            ]
+            # set: prompt I/Q + lifecycle flags). In lean mode the
+            # three flags pre-combine into col 16 (the wire's packed
+            # encoding: processed | locked<<1 | lost<<2) — two fewer
+            # scatter columns per epoch.
+            flags_combo = (wr + 2.0 * jnp.where(upd, 1.0, 0.0)
+                           + 4.0 * jnp.where(
+                               jnp.logical_and(died, act_e), 1.0, 0.0))
+            if telem_mode == "lean":
+                pairs = [(2, i_p * wr), (3, q_p * wr),
+                         (16, flags_combo)]
+            else:
+                pairs = [
+                    (2, i_p * wr), (3, q_p * wr),
+                    (7, jnp.where(upd, 1.0, 0.0)),
+                    (15, jnp.where(jnp.logical_and(died, act_e),
+                                   1.0, 0.0)),
+                    (16, wr),
+                ]
             # 17-20: the superstep's HELD NCO rates and the KERNEL'S
             # OWN per-epoch ledger increments — constant within a
             # superstep, they let the slim2 wire replay the chip/drift

@@ -276,21 +276,24 @@ class AcquisitionEngine:
         return self._search_grid(samples, self.grid, window_offset,
                                  allowed_prns)
 
-    def conv_search_device(self, s_re, s_im):
-        """Raw conv search as a JIT-COMPOSABLE graph piece: full PRN
-        batch, identity selection, device arrays in and out — no host
-        logic. The steady-state receiver embeds this INSIDE the
-        multi-block scan program (FusedTracker.span_extra), so the
-        paced re-search costs zero extra host round trips; candidates
-        form host-side afterwards (candidates_from_conv). Only valid
-        for the conv engine (accelerator backends)."""
+    def conv_search_device(self, s_re, s_im, sel=None):
+        """Raw conv search as a JIT-COMPOSABLE graph piece: device
+        arrays in and out — no host logic. The steady-state receiver
+        embeds this INSIDE the multi-block scan program
+        (FusedTracker.span_extra), so the paced re-search costs zero
+        extra host round trips; candidates form host-side afterwards
+        (candidates_from_conv). ``sel`` selects replica rows ([B,
+        n_prn] 0/1; defaults to the full identity) — the steady
+        re-search passes the 8-row candidate bucket, ~4x less MXU work
+        than the full constellation. Only valid for the conv engine
+        (accelerator backends)."""
         if self.engine != "conv":
             raise ValueError("conv_search_device requires engine='conv'")
         n_int = self.cfg.non_coherent_ms // self.spec.code_period_ms
         return pcps.acquire_conv.__wrapped__(
             s_re, s_im,
             self._codes_dev, self._codes_coarse_dev,
-            self._sel_identity,
+            self._sel_identity if sel is None else sel,
             np.ascontiguousarray(self.grid, dtype=np.float32),
             fs_hz=self.fs_hz, n_int=n_int, decim=self.decim,
             threshold=self._default_threshold(n_int, self.grid),
@@ -301,9 +304,21 @@ class AcquisitionEngine:
             fine_n_sub=self._fine_n_sub,
         )
 
+    def steady_sel(self, allowed_prns) -> tuple[np.ndarray, list]:
+        """8-row selection bucket + rowmap for the in-scan steady
+        re-search (stable shape across spans; zero rows are never
+        detected)."""
+        n_rows = self.code_samples.shape[0]
+        rowmap = [p for p in sorted(allowed_prns)
+                  if 1 <= p <= n_rows][:8]
+        sel = np.zeros((8, n_rows), np.float32)
+        for i, p in enumerate(rowmap):
+            sel[i, p - 1] = 1.0
+        return sel, rowmap + [None] * (8 - len(rowmap))
+
     def candidates_from_conv(self, res, window_offset: int,
-                             allowed_prns: Optional[set[int]]
-                             ) -> list[Candidate]:
+                             allowed_prns: Optional[set[int]],
+                             rowmap=None) -> list[Candidate]:
         """Host-side candidate forming from a (downloaded)
         conv_search_device result — the back half of
         _search_conv_grid, split out for the in-scan path."""
@@ -311,7 +326,8 @@ class AcquisitionEngine:
         if not detected.any():
             return []
         freqs = np.asarray(res.carrier_freq_hz)
-        rowmap = list(range(1, self.code_samples.shape[0] + 1))
+        if rowmap is None:
+            rowmap = list(range(1, self.code_samples.shape[0] + 1))
         return self._build_candidates(
             res, freqs, rowmap, window_offset, allowed_prns)
 

@@ -199,8 +199,12 @@ class Receiver:
             _eng = self.engine
             _n = self.acq_len
 
-            def _span_search(sre, sim):
-                return _eng.conv_search_device(sre[-_n:], sim[-_n:])
+            def _span_search(sre, sim, sel):
+                # the steady re-search uses the 8-row candidate bucket
+                # (stable shape, ~4x less MXU work than the full
+                # constellation); sel/rowmap are built at submit time
+                return _eng.conv_search_device(sre[-_n:], sim[-_n:],
+                                               sel)
 
             self.fused.span_extra = _span_search
             self._span_acq = True
@@ -214,6 +218,7 @@ class Receiver:
         self._codes_ch = None
         self._pipeline_handoffs: list = []
         self._pipeline_active_mask = None
+        self._span_rowmap = None
         self.time_ms = 0.0
         self.acq_events: list = []
         self.timers = StageTimer()
@@ -450,9 +455,14 @@ class Receiver:
                 parts_im.append(jnp.asarray(im))
             stream_re = jnp.concatenate(parts_re)
             stream_im = jnp.concatenate(parts_im)
+            extra_args = ()
+            if self._span_acq:
+                sel_np, self._span_rowmap = self.engine.steady_sel(
+                    self.scheduler.candidates(set(self.active)))
+                extra_args = (jnp.asarray(sel_np),)
             self.state, telems = self.fused.run_blocks(
                 self.state, stream_re, stream_im,
-                self._codes_for_state(), k)
+                self._codes_for_state(), k, extra_args=extra_args)
             # window rolls past the whole span (state offsets come back
             # already rebased — no trk.rebase here)
             keep = self.history + self.block
@@ -495,14 +505,15 @@ class Receiver:
                             self.fused.last_span_extra,
                             window_offset=(self.history + self.block
                                            - self.acq_len),
-                            allowed_prns=allowed)
+                            allowed_prns=allowed,
+                            rowmap=self._span_rowmap)
                         self.scheduler.mark_run(self.time_ms)
                         self._handoff(cands)
         self.scheduler.update_mode(len(self.active))
         return k
 
     # ------------------------------------------------------------------
-    def _pipeline_quick(self, extra):
+    def _pipeline_quick(self, extra, rowmap=None):
         """The cheap post-span step that must happen BEFORE the next
         submit: turn the in-scan search output into queued handoffs."""
         if (self._span_acq and extra is not None
@@ -513,12 +524,13 @@ class Receiver:
                     extra,
                     window_offset=(self.history + self.block
                                    - self.acq_len),
-                    allowed_prns=allowed)
+                    allowed_prns=allowed,
+                    rowmap=rowmap)
                 self.scheduler.mark_run(self.time_ms)
                 self._pipeline_handoffs.extend(cands)
 
     def _collect_pipelined(self, handle, g0, on_block, result=None,
-                           skip_quick=False):
+                           skip_quick=False, rowmap=None):
         """Consume one collected span: telemetry, nav, lifecycle,
         observables, and the in-scan search (whose handoffs are QUEUED
         for the next submit — the pipelined path's one-span acquisition
@@ -549,7 +561,7 @@ class Receiver:
                 self.time_ms += self.cfg.block_ms
                 self._emit_observables()
         if not skip_quick:
-            self._pipeline_quick(extra)
+            self._pipeline_quick(extra, rowmap=rowmap)
         self.scheduler.update_mode(len(self.active))
         stop = bool(on_block is not None and on_block(self))
         return k, stop
@@ -607,17 +619,18 @@ class Receiver:
             caller can submit the next span first — the nav work then
             overlaps the collector's next download."""
             nonlocal pending, done, stop
-            handle, g0 = pending
+            handle, g0, rmap = pending
             with self.timers.stage("track", self.block * handle.n_blocks):
                 result, err = out_q.get()
             if err is not None:
                 raise err
             pending = None
             if quick_only:
-                self._pipeline_quick(result[1])
+                self._pipeline_quick(result[1], rowmap=rmap)
                 return (handle, g0, result)
             n_done, s = self._collect_pipelined(handle, g0, on_block,
-                                                result=result)
+                                                result=result,
+                                                rowmap=rmap)
             done += n_done
             stop = stop or s
             return None
@@ -683,6 +696,12 @@ class Receiver:
                         led, chans, freqs, offs)
                     self._codes_key = None    # codes refresh below
             codes_rows = self._codes_for_prns(prn_mirror)
+            extra_args = ()
+            rowmap = None
+            if self._span_acq:
+                sel_np, rowmap = self.engine.steady_sel(
+                    self.scheduler.candidates(set(self.active)))
+                extra_args = (jnp.asarray(sel_np),)
             # ---- build the span stream on device -------------------
             parts_re = [self.window.re[self.block:]]
             parts_im = [self.window.im[self.block:]]
@@ -693,13 +712,14 @@ class Receiver:
             stream_im = jnp.concatenate(parts_im)
             g0 = self.window.global_start
             handle = ft.submit_span(led, stream_re, stream_im,
-                                    codes_rows, k)
+                                    codes_rows, k,
+                                    extra_args=extra_args)
             led = handle.led
             # window rolls to the new frontier (device slices, async)
             self.window.load(stream_re[-keep:], stream_im[-keep:])
             self.window.global_start = g0 + k * self.block
             self.window.blocks_fed += k
-            pending = (handle, g0)
+            pending = (handle, g0, rowmap)
             in_q.put(handle)          # collector starts the download
             if prev is not None:
                 # heavy nav of span n-1 overlaps span n's download

@@ -139,6 +139,8 @@ def main():
         return per_ss
 
     measure("kernel/nosmall", lambda n: kernel_chain(n, "nosmall"))
+    measure("kernel/noroll", lambda n: kernel_chain(n, "noroll",
+                                                    telem_mode="lean"))
     measure("kernel/notelem", lambda n: kernel_chain(n, "notelem"))
     measure("kernel/lean", lambda n: kernel_chain(n, "",
                                                   telem_mode="lean"))
