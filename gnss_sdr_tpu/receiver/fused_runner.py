@@ -11,8 +11,10 @@ back, once per sample block:
 
 Re-anchoring each block keeps the cross-block bookkeeping exact (u32)
 while the in-block loop runs in f32 on-core — the fused kernel's design
-contract. Measured on one TPU v5e chip: 139x realtime for 32 channels
-vs 1.9x for the scanned XLA path (ROADMAP.md).
+contract. Measured on one TPU v5e chip (round 4, honest timing): the
+shipped mxu-layout multi-block scan runs 32 channels at
+~3.9 ms/signal-second (~260x realtime) vs 1.9x for the scanned XLA
+path (ROADMAP.md performance ledger).
 
 Lifecycle corners handled here, not in the kernel:
 
@@ -99,18 +101,33 @@ N_TELEM_COLS_MXU = 21
 class FusedTracker:
     """Per-receiver instance wrapping the jitted fused block step.
 
-    ``layout`` selects the window feed:
-      * "direct" (default when it applies) — per-channel double-
-        buffered in-kernel DMA straight from the shared stream
-        (track_block_fused_direct): no segment materialization at all,
-        ~3x less HBM traffic than "seg", fetch overlaps compute.
-        Requires t_epochs % (2K) == 0 for some K (fused.choose_k).
+    ``layout`` selects the window feed / correlation formulation:
+      * "mxu" (the accelerator default via TrackConfig.fused_layout
+        "auto") — direct-DMA supersteps whose E/P/L correlation runs
+        as ONE block-diagonal bf16 MXU contraction per held-rate
+        superstep (track_block_fused_mxu; see its docstring for the
+        NCO-decimation semantics). Fastest by ~1.5-2x over "direct".
+      * "direct" — per-channel double-buffered in-kernel DMA straight
+        from the shared stream, exact per-epoch NCO semantics
+        (track_block_fused_direct). Requires t_epochs % (2K) == 0 for
+        some K (fused.choose_k).
       * "seg" — per-channel HBM segments via gather_segments +
         track_block_fused_seg (no XLA window materialization).
       * "windows" — the original [T, C, WP] streamed layout
         (slice_windows + track_block_fused), kept for A/B benching.
-    All produce identical telemetry/state
-    (tests/test_fused_kernel.py::TestLayoutParity).
+    direct/seg/windows produce identical telemetry/state
+    (tests/test_fused_kernel.py::TestLayoutParity); mxu matches to
+    bf16 tolerance with exact bookkeeping
+    (tests/test_mxu_kernel.py).
+
+    ``wire`` selects the run_blocks telemetry download format: "f32"
+    (bit-exact), "slim" (~4.5x fewer bytes), or "slim2" (mxu only,
+    ~13x: 5 B/epoch/channel with host-side ledger replay).
+
+    The span API (submit_span / collect_span / absorb_led /
+    apply_handoffs_device) lets the steady-state receiver chain spans
+    on device and download telemetry from a collector thread
+    (Receiver.run(span_pipeline=True)).
     """
 
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,

@@ -676,9 +676,12 @@ class Receiver:
                     if idle.size == 0:
                         break
                     ch = int(idle[0])
-                    # the candidate's boundary scrolled out with the
-                    # stream: re-map through code periodicity into the
-                    # next span's window
+                    # re-map the detected code boundary to the nearest
+                    # eligible window position: block is a multiple of
+                    # n0, so shifting by any whole number of blocks
+                    # preserves code phase — [n0, 2n0) is always
+                    # eligible, no one-span deferral like the
+                    # synchronous path's raw-offset handoff
                     delta = cand.sample_local_index - k * self.block
                     off = self.n0 + (delta % self.n0)
                     chans.append(ch)
