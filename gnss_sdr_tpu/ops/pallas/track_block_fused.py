@@ -1044,6 +1044,19 @@ def _mxu_run_k(
         # phase referenced to the epoch body start (lane sl):
         # theta(l) = 2pi*(phi0 + l*step), phi0 = phase_e - sl*step
         phi0 = carr_phase + ef * adv - sl * step
+        if "nomix" in ablate:    # profiling hook: skip the carrier mix
+            wre = wre_slot[:, 0, a_e:a_e + wp]
+            wim = wim_slot[:, 0, a_e:a_e + wp]
+            in_ep = jnp.logical_and(lane >= sl, lane < sl + n_t_f)
+            mask = in_ep.astype(jnp.float32)
+            m_re = wre * mask + phi0 * jnp.float32(1e-20)
+            m_im = wim * mask
+            lshift = jnp.where(rem_i == 0, 0, wp - rem_i)
+            w_scr[2 * e] = pltpu.roll(m_re, lshift, 1).astype(
+                jnp.bfloat16)
+            w_scr[2 * e + 1] = pltpu.roll(m_im, lshift, 1).astype(
+                jnp.bfloat16)
+            continue
         th_a = phi0 + (step * jnp.float32(128.0)) * q128
         th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
         th_b = step * q128

@@ -87,16 +87,30 @@ def shard_fused_step(mesh: Mesh, step_fn):
     # channel-shard-local. The invariant is ASSERTED instead:
     # tests/test_parallel.py::TestFusedOnMesh proves 4-device output
     # bit-identical to 1-device for both run_block and run_blocks.
-    f4 = jax.shard_map(
-        lambda br, bi, cr, st: step_fn(br, bi, cr, st),
-        mesh=mesh, in_specs=(rep, rep, chn, chn), out_specs=out,
-        check_vma=False)
-    f5 = jax.shard_map(
-        lambda br, bi, cr, st, s: step_fn(br, bi, cr, st, s),
-        mesh=mesh, in_specs=(rep, rep, chn, chn, P(CHANNEL_AXIS)),
-        out_specs=out, check_vma=False)
+    # static step kwargs (e.g. the mxu layout's telem_mode) select a
+    # different TRACE of the wrapped step, so the shard_map wrappers
+    # cache per kwarg set — without this, the scan's telem_mode='lean'
+    # call would TypeError against a fixed-arity lambda
+    cache: dict = {}
 
-    def call(block_re, block_im, codes_rows, state_mat, starts=None):
+    def _maps(kw_key, kw):
+        if kw_key not in cache:
+            f4 = jax.shard_map(
+                lambda br, bi, cr, st: step_fn(br, bi, cr, st, **kw),
+                mesh=mesh, in_specs=(rep, rep, chn, chn),
+                out_specs=out, check_vma=False)
+            f5 = jax.shard_map(
+                lambda br, bi, cr, st, s: step_fn(br, bi, cr, st, s,
+                                                  **kw),
+                mesh=mesh,
+                in_specs=(rep, rep, chn, chn, P(CHANNEL_AXIS)),
+                out_specs=out, check_vma=False)
+            cache[kw_key] = (f4, f5)
+        return cache[kw_key]
+
+    def call(block_re, block_im, codes_rows, state_mat, starts=None,
+             **kw):
+        f4, f5 = _maps(tuple(sorted(kw.items())), kw)
         if starts is None:
             return f4(block_re, block_im, codes_rows, state_mat)
         return f5(block_re, block_im, codes_rows, state_mat, starts)

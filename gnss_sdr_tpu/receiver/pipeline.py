@@ -195,7 +195,13 @@ class Receiver:
         # candidate arrays ride the span download (_process_span).
         self._span_acq = False
         if (self.fused is not None and self.engine.engine == "conv"
-                and self.fused.layout in ("direct", "mxu")):
+                and self.fused.layout in ("direct", "mxu")
+                # FDMA searches per-channel grid shifts and two_peak/
+                # cfar use different threshold statistics — those
+                # configs keep the (equivalent-sensitivity) boundary
+                # search instead of the in-scan fast path
+                and not cfg.acq.fdma_spacing_hz
+                and cfg.acq.detector == "peak_avg"):
             _eng = self.engine
             _n = self.acq_len
 
@@ -446,15 +452,10 @@ class Receiver:
         _process_block (telemetry, nav, lifecycle) from the one
         downloaded span."""
         k = len(blocks)
-        g0 = self.window.global_start
         with self.timers.stage("track", self.block * k):
-            parts_re = [self.window.re[self.block:]]
-            parts_im = [self.window.im[self.block:]]
-            for re, im in blocks:
-                parts_re.append(jnp.asarray(re))
-                parts_im.append(jnp.asarray(im))
-            stream_re = jnp.concatenate(parts_re)
-            stream_im = jnp.concatenate(parts_im)
+            # window rolls past the whole span (state offsets come back
+            # already rebased — no trk.rebase here)
+            stream_re, stream_im, g0 = self._advance_span_window(blocks)
             extra_args = ()
             if self._span_acq:
                 sel_np, self._span_rowmap = self.engine.steady_sel(
@@ -463,12 +464,6 @@ class Receiver:
             self.state, telems = self.fused.run_blocks(
                 self.state, stream_re, stream_im,
                 self._codes_for_state(), k, extra_args=extra_args)
-            # window rolls past the whole span (state offsets come back
-            # already rebased — no trk.rebase here)
-            keep = self.history + self.block
-            self.window.load(stream_re[-keep:], stream_im[-keep:])
-            self.window.global_start = g0 + k * self.block
-            self.window.blocks_fed += k
 
         with self.timers.stage("nav", self.block * k):
             for b, telem in enumerate(telems):
@@ -581,7 +576,6 @@ class Receiver:
         from .acquisition import SearchMode
 
         ft = self.fused
-        keep = self.history + self.block
         led = self.state                  # first submit absorbs host state
         pending = None                    # (handle, g0) in the collector
         done = 0
@@ -612,6 +606,7 @@ class Receiver:
 
         th = threading.Thread(target=_collector, daemon=True)
         th.start()
+        import queue as _qmod
 
         def pop_pending(quick_only: bool = False):
             """Wait for the collector's result. With ``quick_only``
@@ -635,111 +630,123 @@ class Receiver:
             stop = stop or s
             return None
 
-        while (not stop
-               and self.scheduler.mode == SearchMode.STEADY
-               and (budget is None
-                    or budget - done - (k if pending else 0) >= k)):
-            full = []
-            for _ in range(k):
-                with self.timers.stage("ingest", self.block * self.decim):
-                    pulled = self._pull_block()
-                if pulled is None:
-                    eos = True
-                    break
-                samples, n_valid = pulled
-                if n_valid == self.block:
-                    full.append(samples)
-                else:
-                    leftovers.append((samples, n_valid))
-                    eos = True
-                    break
-            if len(full) < k:
-                # not a full span: remaining blocks flush through the
-                # single-block path after the pipeline drains
-                leftovers = [(s, self.block) for s in full] + leftovers
-                break
-            # wait for the previous span's results (its download ran in
-            # the collector thread while we ingested); only the CHEAP
-            # part (search -> handoff queue) runs before the next
-            # submit — the heavy nav processing is deferred below it so
-            # it overlaps the collector's next download
-            prev = None
-            if pending is not None:
-                prev = pop_pending(quick_only=True)
-            # ---- apply queued handoffs to the device ledger --------
-            if self._pipeline_handoffs:
-                chans, freqs, offs = [], [], []
-                for cand in self._pipeline_handoffs[:8]:
-                    if cand.prn in self.active:
-                        continue
-                    idle = np.where(~self._pipeline_active_mask)[0]
-                    if idle.size == 0:
+        try:
+            while (not stop
+                   and self.scheduler.mode == SearchMode.STEADY
+                   and (budget is None
+                        or budget - done - (k if pending else 0) >= k)):
+                full = []
+                for _ in range(k):
+                    with self.timers.stage("ingest", self.block * self.decim):
+                        pulled = self._pull_block()
+                    if pulled is None:
+                        eos = True
                         break
-                    ch = int(idle[0])
-                    # re-map the detected code boundary to the nearest
-                    # eligible window position: block is a multiple of
-                    # n0, so shifting by any whole number of blocks
-                    # preserves code phase — [n0, 2n0) is always
-                    # eligible, no one-span deferral like the
-                    # synchronous path's raw-offset handoff
-                    delta = cand.sample_local_index - k * self.block
-                    off = self.n0 + (delta % self.n0)
-                    chans.append(ch)
-                    freqs.append(cand.carrier_freq_hz)
-                    offs.append(off)
-                    prn_mirror[ch] = cand.prn - 1
-                    self._pipeline_active_mask[ch] = True
-                    self.active[cand.prn] = ch
-                    self.telemetry.open_channel(ch, cand.prn)
-                    self.nav.open_channel(ch, cand.prn)
-                    self.acq_events.append((self.time_ms, cand))
-                self._pipeline_handoffs = []
-                if chans:
-                    led = ft.apply_handoffs_device(
-                        led, chans, freqs, offs)
-                    self._codes_key = None    # codes refresh below
-            codes_rows = self._codes_for_prns(prn_mirror)
-            extra_args = ()
-            rowmap = None
-            if self._span_acq:
-                sel_np, rowmap = self.engine.steady_sel(
-                    self.scheduler.candidates(set(self.active)))
-                extra_args = (jnp.asarray(sel_np),)
-            # ---- build the span stream on device -------------------
-            parts_re = [self.window.re[self.block:]]
-            parts_im = [self.window.im[self.block:]]
-            for re, im in full:
-                parts_re.append(jnp.asarray(re))
-                parts_im.append(jnp.asarray(im))
-            stream_re = jnp.concatenate(parts_re)
-            stream_im = jnp.concatenate(parts_im)
-            g0 = self.window.global_start
-            handle = ft.submit_span(led, stream_re, stream_im,
-                                    codes_rows, k,
-                                    extra_args=extra_args)
-            led = handle.led
-            # window rolls to the new frontier (device slices, async)
-            self.window.load(stream_re[-keep:], stream_im[-keep:])
-            self.window.global_start = g0 + k * self.block
-            self.window.blocks_fed += k
-            pending = (handle, g0, rowmap)
-            in_q.put(handle)          # collector starts the download
-            if prev is not None:
-                # heavy nav of span n-1 overlaps span n's download
-                n_done, s = self._collect_pipelined(
-                    prev[0], prev[1], on_block, result=prev[2],
-                    skip_quick=True)
-                done += n_done
-                stop = stop or s
-        if pending is not None:
-            pop_pending()
-        in_q.put(None)
-        th.join(timeout=30.0)
+                    samples, n_valid = pulled
+                    if n_valid == self.block:
+                        full.append(samples)
+                    else:
+                        leftovers.append((samples, n_valid))
+                        eos = True
+                        break
+                if len(full) < k:
+                    # not a full span: remaining blocks flush through the
+                    # single-block path after the pipeline drains
+                    leftovers = [(s, self.block) for s in full] + leftovers
+                    break
+                # wait for the previous span's results (its download ran in
+                # the collector thread while we ingested); only the CHEAP
+                # part (search -> handoff queue) runs before the next
+                # submit — the heavy nav processing is deferred below it so
+                # it overlaps the collector's next download
+                prev = None
+                if pending is not None:
+                    prev = pop_pending(quick_only=True)
+                # ---- apply queued handoffs to the device ledger --------
+                if self._pipeline_handoffs:
+                    chans, freqs, offs = [], [], []
+                    for cand in self._pipeline_handoffs[:8]:
+                        if cand.prn in self.active:
+                            continue
+                        idle = np.where(~self._pipeline_active_mask)[0]
+                        if idle.size == 0:
+                            break
+                        ch = int(idle[0])
+                        # re-map the detected code boundary to the nearest
+                        # eligible window position: block is a multiple of
+                        # n0, so shifting by any whole number of blocks
+                        # preserves code phase — [n0, 2n0) is always
+                        # eligible, no one-span deferral like the
+                        # synchronous path's raw-offset handoff
+                        delta = cand.sample_local_index - k * self.block
+                        off = self.n0 + (delta % self.n0)
+                        chans.append(ch)
+                        freqs.append(cand.carrier_freq_hz)
+                        offs.append(off)
+                        prn_mirror[ch] = cand.prn - 1
+                        self._pipeline_active_mask[ch] = True
+                        self.active[cand.prn] = ch
+                        self.telemetry.open_channel(ch, cand.prn)
+                        self.nav.open_channel(ch, cand.prn)
+                        self.acq_events.append((self.time_ms, cand))
+                    self._pipeline_handoffs = []
+                    if chans:
+                        led = ft.apply_handoffs_device(
+                            led, chans, freqs, offs)
+                        self._codes_key = None    # codes refresh below
+                codes_rows = self._codes_for_prns(prn_mirror)
+                extra_args = ()
+                rowmap = None
+                if self._span_acq:
+                    sel_np, rowmap = self.engine.steady_sel(
+                        self.scheduler.candidates(set(self.active)))
+                    extra_args = (jnp.asarray(sel_np),)
+                stream_re, stream_im, g0 = \
+                    self._advance_span_window(full)
+                handle = ft.submit_span(led, stream_re, stream_im,
+                                        codes_rows, k,
+                                        extra_args=extra_args)
+                led = handle.led
+                pending = (handle, g0, rowmap)
+                in_q.put(handle)          # collector starts the download
+                if prev is not None:
+                    # heavy nav of span n-1 overlaps span n's download
+                    n_done, s = self._collect_pipelined(
+                        prev[0], prev[1], on_block, result=prev[2],
+                        skip_quick=True)
+                    done += n_done
+                    stop = stop or s
+            if pending is not None:
+                pop_pending()
+        finally:
+            # shut the collector down even on error paths (a
+            # blocked daemon thread would pin the pending span's
+            # device arrays for the process lifetime)
+            try:
+                in_q.put_nowait(None)
+            except _qmod.Full:
+                pass
+            th.join(timeout=30.0)
         # sync the exact host ledger once at pipeline exit
         self.state = ft.absorb_led(self.state, led)._replace(
             prn_idx=np.asarray(prn_mirror))
         self._pipeline_active_mask = None
         self._codes_key = None
+        if self._pipeline_handoffs:
+            # the final span's search candidates arrived after the last
+            # submit: hand them to the (now-synced) host ledger so they
+            # are not lost behind a full pacing interval (mark_run
+            # already recorded the search)
+            import dataclasses as _dc
+
+            remapped = [
+                _dc.replace(
+                    c, sample_local_index=self.n0
+                    + (c.sample_local_index % self.n0))
+                for c in self._pipeline_handoffs
+            ]
+            self._pipeline_handoffs = []
+            self._handoff(remapped)
         if not stop:
             for samples, n_valid in leftovers:
                 if self._process_block(samples, n_valid):
@@ -748,6 +755,25 @@ class Receiver:
                         stop = True
                         break
         return done, eos or stop
+
+    def _advance_span_window(self, full):
+        """Span framing shared by the synchronous and pipelined paths:
+        concatenate [window tail | len(full) fresh blocks] and roll the
+        window to the new frontier (device slices, async). Returns
+        (stream_re, stream_im, g0 = the span's window global start)."""
+        keep = self.history + self.block
+        parts_re = [self.window.re[self.block:]]
+        parts_im = [self.window.im[self.block:]]
+        for re, im in full:
+            parts_re.append(jnp.asarray(re))
+            parts_im.append(jnp.asarray(im))
+        stream_re = jnp.concatenate(parts_re)
+        stream_im = jnp.concatenate(parts_im)
+        g0 = self.window.global_start
+        self.window.load(stream_re[-keep:], stream_im[-keep:])
+        self.window.global_start = g0 + len(full) * self.block
+        self.window.blocks_fed += len(full)
+        return stream_re, stream_im, g0
 
     def _codes_for_prns(self, prn_idx_np):
         key = ("pipe",) + tuple(prn_idx_np.tolist())

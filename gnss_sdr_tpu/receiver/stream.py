@@ -215,7 +215,7 @@ class StreamingDeviceSource:
         self._queue = None
         self._thread = None
         self._block_n = None
-        self._scale = None
+        self._stopping = False
 
     def _stage(self, raw):
         import jax
@@ -228,28 +228,46 @@ class StreamingDeviceSource:
             re = np.ascontiguousarray(np.real(raw), dtype=np.float32)
             im = np.ascontiguousarray(np.imag(raw), dtype=np.float32)
         if self._store == "int8":
-            if self._scale is None:
-                sigma = float(max(np.std(re), np.std(im), 1e-12))
-                self._scale = np.float32(4.0 * sigma / 127.0)
+            # PER-CHUNK scale (shipped with the chunk): a global scale
+            # frozen from the first block would lock onto a silent/
+            # settling stream start and clip every later real-signal
+            # sample to numeric dust
+            sigma = float(max(np.std(re), np.std(im), 1e-12))
+            scale = np.float32(4.0 * sigma / 127.0)
             q = lambda x: np.clip(  # noqa: E731
-                np.round(x / self._scale), -127, 127).astype(np.int8)
+                np.round(x / scale), -127, 127).astype(np.int8)
             return (jax.device_put(q(re)), jax.device_put(q(im)),
-                    re.shape[0])
-        return (jax.device_put(re), jax.device_put(im), re.shape[0])
+                    re.shape[0], scale)
+        return (jax.device_put(re), jax.device_put(im), re.shape[0],
+                None)
+
+    def _put(self, item) -> bool:
+        """Bounded put that yields to close(): the consumer may stop
+        reading mid-stream and the feeder must not block forever."""
+        import queue as _q
+
+        while not self._stopping:
+            try:
+                self._queue.put(item, timeout=0.2)
+                return True
+            except _q.Full:
+                continue
+        return False
 
     def _feeder(self):
-        while True:
+        while not self._stopping:
             raw = self._source.read(self._block_n)
             if raw is None:
-                self._queue.put(None)
+                self._put(None)
                 return
             size = raw[0].shape[0] if isinstance(raw, tuple) else raw.size
             if size == 0:
-                self._queue.put(None)
+                self._put(None)
                 return
-            self._queue.put(self._stage(raw))
+            if not self._put(self._stage(raw)):
+                return
             if size < self._block_n:
-                self._queue.put(None)   # short tail = end of stream
+                self._put(None)   # short tail = end of stream
                 return
 
     def read(self, n: int):
@@ -271,20 +289,22 @@ class StreamingDeviceSource:
         item = self._queue.get()
         if item is None:
             return None
-        re, im, size = item
-        if self._store == "int8":
-            re = re.astype(jnp.float32) * self._scale
-            im = im.astype(jnp.float32) * self._scale
+        re, im, size, scale = item
+        if scale is not None:
+            re = re.astype(jnp.float32) * scale
+            im = im.astype(jnp.float32) * scale
         if size < self._block_n:
             re = re[:size]
             im = im[:size]
         return (re, im)
 
     def close(self):
-        if self._thread is not None and self._thread.is_alive():
-            # drain so the feeder can exit
-            while self._queue.get() is not None:
-                pass
+        # signal the feeder (its bounded _put observes the flag), then
+        # join with a bounded wait — close() can never hang, even on
+        # an unbounded live source with the consumer stopped early
+        self._stopping = True
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
 
 
 class StreamWindow:

@@ -138,6 +138,8 @@ def main():
               f"{min(slopes)/max(slopes):.2f}")
         return per_ss
 
+    measure("kernel/nomix+ns", lambda n: kernel_chain(n,
+                                                      "nomix,nosmall"))
     measure("kernel/nosmall", lambda n: kernel_chain(n, "nosmall"))
     measure("kernel/noroll", lambda n: kernel_chain(n, "noroll",
                                                     telem_mode="lean"))
