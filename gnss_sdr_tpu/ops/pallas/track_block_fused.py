@@ -969,6 +969,7 @@ def _mxu_run_k(
     interp: bool,
     ablate: str = "",
     telem_mode: str = "full",
+    pin: bool = False,
 ):
     """One K-epoch superstep, MXU formulation.
 
@@ -1202,16 +1203,26 @@ def _mxu_run_k(
     dll_err_all = jnp.where(
         el_sum > 0.0,
         (pow_e_all - pow_l_all) / jnp.maximum(el_sum, 1e-12), 0.0)
+    # pin ONE materialization of the discriminator block: the lean and
+    # full telemetry wires consume these through different downstream
+    # ops, and XLA's excess-precision contraction can round the two
+    # COMPILATIONS an ulp apart in the fused producers — the slim2
+    # exact-ledger claim (tests/test_wire2.py) needs both wires' state
+    # to evolve bit-identically. Mosaic has no optimization_barrier
+    # lowering (and no consumer-dependent contraction either), so the
+    # pin applies only in interpret mode, where the claim is tested.
+    if pin:
+        (i_p_all, q_p_all, i_e_all, q_e_all, i_l_all, q_l_all,
+         power_all, pll_err_all, dll_err_all) = \
+            jax.lax.optimization_barrier(
+                (i_p_all, q_p_all, i_e_all, q_e_all, i_l_all, q_l_all,
+                 power_all, pll_err_all, dll_err_all))
     if lock_mode == "costas":
         metric_all = (i_p_all * i_p_all - q_p_all * q_p_all) \
             / jnp.maximum(power_all, 1e-12)
     else:
         locked_all = power_all > jnp.float32(lock_threshold)
 
-    cf_f, ce_f = carr_freq, carr_err0
-    cr_f, de_f = code_rate, code_err0
-    lo_f, ac_f, le_f = lost0, active0, lock_ema0
-    n_act = jnp.zeros_like(carr_freq)
     fid = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
 
     def scatter(pairs):
@@ -1219,6 +1230,204 @@ def _mxu_run_k(
         for k, v in pairs:
             out = out + (fid == k).astype(jnp.float32) * v
         return out
+
+    # ---- stage 4: lifecycle / loop-filter chain ---------------------
+    # Power-lock mode with the lean wire takes the closed form: locked
+    # is history-free there, so the lost counter is "epochs since the
+    # last locked epoch" (seeded lost0 before the first), death is its
+    # first crossing of max_lost, activity is the epoch prefix bounded
+    # by the death epoch, and the loop-filter memory at each epoch is
+    # the discriminator of the last UPDATE epoch before it. That turns
+    # the K x ~25 sequential [C, 1] ops (measured ~0.8 ms/signal-s of
+    # Mosaic per-op overhead, tools/mxu_ablate_probe.py) into a
+    # handful of whole-[C, K]/[C, K, K] ops, and the K per-epoch
+    # telemetry scatters into ONE [K, C, 128] slab write (lean) or K
+    # scatters fed from the vectorized values (full — both wires MUST
+    # run the identical chain ops at identical shapes, or the
+    # compiler's excess-precision contraction choices diverge by an
+    # ulp and break the slim2 bit-exact-ledger claim). Costas lock
+    # keeps the sequential chain (its EMA is genuinely recurrent).
+    vector_chain = (lock_mode != "costas" and "notelem" not in ablate)
+    if vector_chain:
+        kf = k_epochs
+        act0_b = active0 > 0.5                          # [C, 1]
+        e_row = jax.lax.broadcasted_iota(jnp.int32, (1, kf), 1)
+        e_f = e_row.astype(jnp.float32)
+        j3 = jax.lax.broadcasted_iota(jnp.int32, (1, kf, kf), 2)
+        e3 = jax.lax.broadcasted_iota(jnp.int32, (1, kf, kf), 1)
+        lk3 = locked_all[:, None, :]                    # [C, 1, K]
+        # last locked epoch index <= e (or -1): lo_e closed form
+        last_lk = jnp.max(
+            jnp.where(jnp.logical_and(j3 <= e3, lk3), j3, -1), axis=2)
+        lo_all = jnp.where(
+            last_lk >= 0, (e_row - last_lk).astype(jnp.float32),
+            lost0 + e_f + 1.0)                          # [C, K]
+        death = lo_all >= jnp.float32(max_lost)
+        d_idx = jnp.min(jnp.where(death, e_row, kf), axis=1,
+                        keepdims=True)                  # [C, 1]
+        act_all = jnp.logical_and(act0_b, e_row <= d_idx)
+        upd_all = jnp.logical_and(act_all, locked_all)
+        wr_all = act_all.astype(jnp.float32)
+        upd_f = upd_all.astype(jnp.float32)
+        emit_lost = jnp.logical_and(act0_b, e_row == d_idx).astype(
+            jnp.float32)
+        n_act = jnp.sum(wr_all, axis=1, keepdims=True)
+        # loop-filter memory at the START of epoch e = discriminator
+        # of the last update epoch STRICTLY before e (ce0/de0 if none)
+        upd3 = upd_all[:, None, :]
+        last_u = jnp.max(
+            jnp.where(jnp.logical_and(j3 < e3, upd3), j3, -1), axis=2)
+        oh_u = (j3 == last_u[:, :, None]).astype(jnp.float32)
+        ce_all = jnp.where(
+            last_u >= 0, jnp.sum(oh_u * pll_err_all[:, None, :],
+                                 axis=2), carr_err0)
+        de_all = jnp.where(
+            last_u >= 0, jnp.sum(oh_u * dll_err_all[:, None, :],
+                                 axis=2), code_err0)
+        carr_nco_all = pll_err_all * jnp.float32(pll_c1) + (
+            pll_err_all - ce_all) * jnp.float32(pll_c2)
+        code_nco_all = dll_err_all * jnp.float32(dll_c1) + (
+            dll_err_all - de_all) * jnp.float32(dll_c2)
+        # pin one materialization of the NCO values (same rationale as
+        # the discriminator-block pin above; the fold below is
+        # contraction-free where + add given pinned inputs)
+        if pin:
+            carr_nco_all, code_nco_all = jax.lax.optimization_barrier(
+                (carr_nco_all, code_nco_all))
+        # the rate accumulators keep the sequential left-fold: the
+        # slim2 wire's bit-exact-ledger claim (tests/test_wire2.py)
+        # needs the same f32 rounding order as the f32-wire run, and
+        # a jnp.sum reduction rounds differently (~1 ulp of code_rate
+        # per superstep => ~1e-4 chips/epoch of replay drift). 2K
+        # where+add ops — the rest of the chain stays whole-array.
+        cf_f, cr_f = carr_freq, code_rate
+        cf_steps, cr_steps = [], []
+        for e in range(kf):
+            upd_e = upd_all[:, e:e + 1]
+            cf_f = jnp.where(upd_e, cf_f + carr_nco_all[:, e:e + 1],
+                             cf_f)
+            cr_f = jnp.where(upd_e, cr_f + code_nco_all[:, e:e + 1],
+                             cr_f)
+            # each step feeds BOTH the telemetry row and the next fold
+            # step / state writeback; without the pin the compiler
+            # duplicates the producing expression into the two
+            # consumers' fusions and its excess-precision contraction
+            # can round them an ulp apart (observed on XLA:CPU),
+            # breaking the wire-vs-state exactness contract
+            if pin:
+                cf_f, cr_f = jax.lax.optimization_barrier(
+                    (cf_f, cr_f))
+            cf_steps.append(cf_f)
+            cr_steps.append(cr_f)
+        u_last = jnp.max(jnp.where(upd_all, e_row, -1), axis=1,
+                         keepdims=True)                 # [C, 1]
+        oh_k = (e_row == u_last).astype(jnp.float32)
+        ce_f = jnp.where(u_last >= 0,
+                         jnp.sum(oh_k * pll_err_all, axis=1,
+                                 keepdims=True), carr_err0)
+        de_f = jnp.where(u_last >= 0,
+                         jnp.sum(oh_k * dll_err_all, axis=1,
+                                 keepdims=True), code_err0)
+        # lost counter freezes at its death-epoch value
+        oh_lo = (e_row == jnp.minimum(d_idx, kf - 1)).astype(
+            jnp.float32)
+        lo_f = jnp.where(act0_b,
+                         jnp.sum(oh_lo * lo_all, axis=1,
+                                 keepdims=True), lost0)
+        ac_f = jnp.where(jnp.logical_and(act0_b, d_idx < kf),
+                         jnp.zeros_like(active0), active0)
+        # power mode leaves the EMA untouched but zeroes it on any
+        # died epoch (inactive channels with lost0 >= max_lost hit
+        # this every epoch — sequential parity)
+        died_any = jnp.logical_or(
+            jnp.logical_and(act0_b, d_idx < kf),
+            jnp.logical_and(jnp.logical_not(act0_b),
+                            lost0 >= jnp.float32(max_lost)))
+        le_f = jnp.where(died_any, jnp.zeros_like(lock_ema0),
+                         lock_ema0)
+
+        if telem_mode == "lean":
+            # ---- stage 5: one [K, C, 128] telemetry slab ------------
+            # [C, K] -> [K, C] via identity contraction: Mosaic has no
+            # minormost transpose, but the MXU contracts the C axis
+            # against eye(C) at ~zero cost. bf16 rounding in the
+            # product is at/below the slim2 wire's own bf16
+            # quantization (and exact for the small-integer flags).
+            eye_c = (jax.lax.broadcasted_iota(
+                jnp.int32, (c_channels, c_channels), 0)
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (c_channels, c_channels), 1)
+            ).astype(jnp.float32)
+
+            def tr(x):
+                return jax.lax.dot_general(
+                    x, eye_c,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, :, None]
+
+            flags_all = wr_all + 2.0 * upd_f + 4.0 * emit_lost
+            fid3 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, N_FIELDS), 2)
+            slab = ((fid3 == 2).astype(jnp.float32)
+                    * tr(i_p_all * wr_all)
+                    + (fid3 == 3).astype(jnp.float32)
+                    * tr(q_p_all * wr_all)
+                    + (fid3 == 16).astype(jnp.float32) * tr(flags_all))
+            # superstep-start diagnostics ride epoch row 0 (slim2
+            # reads them only there); 17-20 are the held rates + the
+            # kernel's own ledger increments (see the sequential
+            # branch's comment)
+            wr0 = wr_all[:, 0:1]
+            row0 = scatter([
+                (0, i_e_all[:, 0:1] * wr0), (1, q_e_all[:, 0:1] * wr0),
+                (4, i_l_all[:, 0:1] * wr0), (5, q_l_all[:, 0:1] * wr0),
+                (8, pll_err_all[:, 0:1] * wr0),
+                (9, dll_err_all[:, 0:1] * wr0),
+                (17, carr_freq), (18, code_rate),
+                (19, d_chip), (20, d_drift),
+            ])
+            k_col = jax.lax.broadcasted_iota(jnp.int32, (kf, 1, 1), 0)
+            slab = slab + (k_col == 0).astype(jnp.float32) * row0[None]
+            telem_ref[telem_base:telem_base + kf] = slab
+        else:
+            # full wire: per-epoch rows, every diagnostic column, fed
+            # from the vectorized values (cold-start consumers read
+            # every column; this path runs on the single-block API)
+            for e in range(kf):
+                wr_e = wr_all[:, e:e + 1]
+                telem_ref[telem_base + e] = scatter([
+                    (0, i_e_all[:, e:e + 1] * wr_e),
+                    (1, q_e_all[:, e:e + 1] * wr_e),
+                    (2, i_p_all[:, e:e + 1] * wr_e),
+                    (3, q_p_all[:, e:e + 1] * wr_e),
+                    (4, i_l_all[:, e:e + 1] * wr_e),
+                    (5, q_l_all[:, e:e + 1] * wr_e),
+                    (6, power_all[:, e:e + 1] * wr_e),
+                    (7, upd_f[:, e:e + 1]),
+                    (8, pll_err_all[:, e:e + 1] * wr_e),
+                    (9, dll_err_all[:, e:e + 1] * wr_e),
+                    (10, cf_steps[e]), (11, cr_steps[e]),
+                    (12, n_t_f), (13, drift_all[:, e:e + 1]),
+                    (14, chip_all[:, e:e + 1] * wr_e),
+                    (15, emit_lost[:, e:e + 1]),
+                    (16, wr_e),
+                    (17, carr_freq), (18, code_rate),
+                    (19, d_chip), (20, d_drift),
+                ])
+
+        ncp = carr_phase + n_act * adv
+        new_carr_phase = ncp - jnp.floor(ncp)
+        return scatter([
+            (0, cf_f), (1, new_carr_phase), (2, ce_f), (3, cr_f),
+            (4, chip_res0 + n_act * d_chip), (5, de_f), (6, lo_f),
+            (7, ac_f), (8, drift0 + n_act * d_drift), (9, woff),
+            (10, frac0), (11, le_f),
+        ])
+
+    cf_f, ce_f = carr_freq, carr_err0
+    cr_f, de_f = code_rate, code_err0
+    lo_f, ac_f, le_f = lost0, active0, lock_ema0
+    n_act = jnp.zeros_like(carr_freq)
 
     for e in range(k_epochs):
         drift_e = drift_all[:, e:e + 1]
@@ -1365,6 +1574,7 @@ def _mxu_kernel(
     interp: bool,
     ablate: str = "",
     telem_mode: str = "full",
+    pin: bool = False,
 ):
     """Direct-DMA double-buffered superstep pipeline (same structure as
     _direct_kernel) driving the MXU correlation superstep."""
@@ -1414,7 +1624,7 @@ def _mxu_kernel(
             dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
             aiding_scale=aiding_scale, if_freq=if_freq,
             lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
-            ablate=ablate, telem_mode=telem_mode)
+            ablate=ablate, telem_mode=telem_mode, pin=pin)
 
     drain(j0, w0r, w0i, 0)
     st = run(state[:, :], j0, w0r, w0i, 0)
@@ -1524,6 +1734,7 @@ def track_block_fused_mxu(
             el_shift=el_shift, aiding_scale=aiding_scale,
             if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
             interp=interp, ablate=ablate, telem_mode=telem_mode,
+            pin=interpret,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
