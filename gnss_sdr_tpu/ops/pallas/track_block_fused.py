@@ -1027,6 +1027,21 @@ def _mxu_run_k(
     w128 = wp // 128
     q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
         jnp.float32)
+    if "nomix" not in ablate:
+        # the B factor of the carrier outer product depends only on
+        # the HELD rate — hoist its trig and the [C, wp] tilings out
+        # of the epoch loop (superstep-constant), as is the 0/1
+        # expansion matmul constant for the A factor
+        th_b = step * q128
+        th_b = (th_b - jnp.floor(th_b)) * jnp.float32(TWO_PI)
+        b_c = jnp.cos(th_b)
+        b_s = jnp.sin(th_b)
+        tb_c = pltpu.repeat(b_c, w128, 1)                 # [C, wp]
+        tb_s = pltpu.repeat(b_s, w128, 1)
+        exp_q = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 0)
+        exp_l = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 1)
+        e_mat = (jax.lax.shift_right_logical(exp_l, 7)
+                 == exp_q).astype(jnp.float32)
     for e in range(k_epochs):
         a_e = (e * n0 // 128) * 128
         rem_e = e * n0 - a_e
@@ -1060,22 +1075,15 @@ def _mxu_run_k(
             continue
         th_a = phi0 + (step * jnp.float32(128.0)) * q128
         th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
-        th_b = step * q128
-        th_b = (th_b - jnp.floor(th_b)) * jnp.float32(TWO_PI)
         a_c = jnp.cos(th_a)
         a_s = jnp.sin(th_a)
-        b_c = jnp.cos(th_b)
-        b_s = jnp.sin(th_b)
         # assemble the outer product A[q]*B[r] over lane l = 128q + r
         # with a handful of whole-row ops instead of a w128-step
         # concat loop (the loop was ~120 small [C, 128] ops per
-        # epoch): pltpu.repeat TILES b to lane l % 128; a constant
-        # 0/1 expansion matmul lifts a to lane l // 128 (E[q, l] =
-        # (l//128 == q), const-folded; tiny-K MXU work).
-        exp_q = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 0)
-        exp_l = jax.lax.broadcasted_iota(jnp.int32, (w128, wp), 1)
-        e_mat = (jax.lax.shift_right_logical(exp_l, 7)
-                 == exp_q).astype(jnp.float32)
+        # epoch): pltpu.repeat TILES b to lane l % 128 (hoisted above
+        # — B is superstep-constant); a constant 0/1 expansion matmul
+        # lifts a to lane l // 128 (E[q, l] = (l//128 == q),
+        # const-folded; tiny-K MXU work).
         ra_c = jnp.dot(a_c[:, :w128], e_mat,
                        preferred_element_type=jnp.float32)
         ra_s = jnp.dot(a_s[:, :w128], e_mat,
