@@ -812,6 +812,26 @@ def _direct_kernel(
         state_out_ref[:] = st
 
 
+def mxu_sel_constant(c_channels: int, k_epochs: int) -> jax.Array:
+    """[C, 2K*C, 2K] bf16 block-diagonal extraction masks for the mxu
+    kernel's stage-2 selection matmuls: sel[c, q*C + c', t] = 1 iff
+    c' == c and q == (2t if t < K else 2(t-K)+1) — the permutation
+    that lands re epochs in rows [0, K) and im epochs in [K, 2K).
+    Built in XLA (const-folded into a literal) and passed as a kernel
+    input; building it in-kernel cost ~3 VPU ops per channel per
+    superstep."""
+    qk = 2 * k_epochs
+    i_idx = np.arange(qk * c_channels)[None, :, None]
+    t_idx = np.arange(qk)[None, None, :]
+    c_idx = np.arange(c_channels)[:, None, None]
+    row_q = i_idx // c_channels
+    row_c = i_idx % c_channels
+    tgt_q = np.where(t_idx < k_epochs, 2 * t_idx,
+                     2 * (t_idx - k_epochs) + 1)
+    sel = np.logical_and(row_q == tgt_q, row_c == c_idx)
+    return jnp.asarray(sel.astype(np.float32), jnp.bfloat16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -944,6 +964,7 @@ def _mxu_run_k(
     wre_slot,       # [C, 1, span] VMEM window slot (real)
     wim_slot,
     reps_ref,       # [C, R, WP] bf16 replica bank (R = mxu_rows)
+    sel_ref,        # [C, 2K*C, 2K] bf16 extraction masks (constant)
     telem_ref,      # [2K, C, 128] out block
     w_scr,          # [2K, C, WP] bf16 im2col scratch
     corr_scr,       # [C, 2K, R] f32 per-channel correlation scratch
@@ -1025,6 +1046,7 @@ def _mxu_run_k(
 
     # ---- stage 1: mix + mask + bf16 im2col (VPU) --------------------
     w128 = wp // 128
+    qk = 2 * k_epochs
     q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
         jnp.float32)
     if "nomix" not in ablate:
@@ -1088,8 +1110,6 @@ def _mxu_run_k(
                        preferred_element_type=jnp.float32)
         ra_s = jnp.dot(a_s[:, :w128], e_mat,
                        preferred_element_type=jnp.float32)
-        tb_c = pltpu.repeat(b_c, w128, 1)             # [C, wp]
-        tb_s = pltpu.repeat(b_s, w128, 1)
         cth = ra_c * tb_c - ra_s * tb_s
         sth = ra_s * tb_c + ra_c * tb_s
         wre = wre_slot[:, 0, a_e:a_e + wp]
@@ -1110,7 +1130,7 @@ def _mxu_run_k(
             jnp.bfloat16)
 
     if "nosmall" in ablate:          # profiling hook: stages 1+2 only
-        w_flat0 = w_scr[:].reshape(2 * k_epochs * c_channels, wp)
+        w_flat0 = w_scr[:].reshape(qk * c_channels, wp)
         big0 = jax.lax.dot_general(
             reps_ref[:].reshape(c_channels * r_rows, wp), w_flat0,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1131,33 +1151,24 @@ def _mxu_run_k(
     # C-fold but the MXU runs it at ~peak (tools/mxu_probe2.py: the
     # whole stage measures ~1 us/epoch for 32 channels vs 5.8 us for
     # the VPU select+roll+reduce formulation it replaces).
-    w_flat = w_scr[:].reshape(2 * k_epochs * c_channels, wp)
+    w_flat = w_scr[:].reshape(qk * c_channels, wp)
     big = jax.lax.dot_general(
         reps_ref[:].reshape(c_channels * r_rows, wp), w_flat,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # [C*R, 2K*C]
-    qk = 2 * k_epochs
-    # selection constant: one bf16 matmul per channel extracts the
+    # selection constants: one bf16 matmul per channel extracts the
     # diagonal block, PERMUTED so the re epochs land in rows [0, K) and
-    # the im epochs in rows [K, 2K) — stage 3 then reads [C, K, R]
-    # re/im cubes as contiguous middle-dim slices (no strided
-    # addressing). Built in-graph from iotas (shard-size aware under
-    # shard_map), constant-folded by the compiler.
-    row_q = jax.lax.broadcasted_iota(
-        jnp.int32, (qk * c_channels, qk), 0) // c_channels
-    col_i = jax.lax.broadcasted_iota(
-        jnp.int32, (qk * c_channels, qk), 1)
-    tgt_q = jnp.where(col_i < k_epochs, 2 * col_i,
-                      2 * (col_i - k_epochs) + 1)
-    row_c = jax.lax.broadcasted_iota(
-        jnp.int32, (qk * c_channels, 1), 0) - row_q * c_channels
+    # the im epochs in rows [K, 2K) — stage 3 then reads its re/im
+    # cubes as contiguous middle-dim slices (no strided addressing).
+    # The [C, 2K*C, 2K] mask stack arrives as a kernel INPUT
+    # (mxu_sel_constant, const-folded by XLA): the round-4 in-kernel
+    # iota builds cost ~3 VPU ops per channel per superstep — a third
+    # of the extraction's measured 0.6 ms/signal-s.
     for c in range(c_channels):
-        sel_c = jnp.logical_and(row_q == tgt_q, row_c == c).astype(
-            jnp.bfloat16)                     # [2K*C, 2K] permuted
         blk = big[c * r_rows:(c + 1) * r_rows, :]  # [R, 2K*C]
         # [2K, R] = sel_c^T . blk^T via dot_general contraction (0, 1)
         corr_scr[c] = jax.lax.dot_general(
-            sel_c, blk,
+            sel_ref[c], blk,
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -1168,6 +1179,14 @@ def _mxu_run_k(
     # arrays; only ~20 [C, 1]-scale ops per epoch remain sequential.
     # (The per-epoch formulation measured 1.6 ms/signal-s of tiny-op
     # overhead — half the kernel — tools/mxu_ablate_probe.py.)
+    if "stopsel" in ablate:     # profiling hook: stages 1+2+extraction
+        fid0 = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
+        probe = jnp.sum(corr_scr[:, 0, :1], axis=1, keepdims=True)
+        row0 = (fid0 == 0).astype(jnp.float32) * probe
+        for e in range(k_epochs):
+            telem_ref[telem_base + e] = row0
+        return st + 1e-20 * row0
+
     corr_re = corr_scr[:, 0:k_epochs, :]      # [C, K, R]
     corr_im = corr_scr[:, k_epochs:qk, :]
     ef_all = jax.lax.broadcasted_iota(
@@ -1200,6 +1219,15 @@ def _mxu_run_k(
     q_e_all = pick_b(corr_im, idx_p_all - el_f)
     i_l_all = pick_b(corr_re, idx_p_all + el_f)
     q_l_all = pick_b(corr_im, idx_p_all + el_f)
+
+    if "stop3" in ablate:    # profiling hook: through the E/P/L picks
+        fid0 = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
+        probe = (jnp.sum(i_p_all + q_p_all + i_e_all + q_e_all
+                         + i_l_all + q_l_all, axis=1, keepdims=True))
+        row0 = (fid0 == 0).astype(jnp.float32) * probe
+        for e in range(k_epochs):
+            telem_ref[telem_base + e] = row0
+        return st + 1e-20 * row0
 
     power_all = i_p_all * i_p_all + q_p_all * q_p_all
     safe_ip = jnp.where(jnp.abs(i_p_all) < 1e-12, 1e-12, i_p_all)
@@ -1297,36 +1325,25 @@ def _mxu_run_k(
         code_nco_all = dll_err_all * jnp.float32(dll_c1) + (
             dll_err_all - de_all) * jnp.float32(dll_c2)
         # pin one materialization of the NCO values (same rationale as
-        # the discriminator-block pin above; the fold below is
-        # contraction-free where + add given pinned inputs)
+        # the discriminator-block pin above; the rate sums below are
+        # plain where + add/sum given pinned inputs)
         if pin:
             carr_nco_all, code_nco_all = jax.lax.optimization_barrier(
                 (carr_nco_all, code_nco_all))
-        # the rate accumulators keep the sequential left-fold: the
-        # slim2 wire's bit-exact-ledger claim (tests/test_wire2.py)
-        # needs the same f32 rounding order as the f32-wire run, and
-        # a jnp.sum reduction rounds differently (~1 ulp of code_rate
-        # per superstep => ~1e-4 chips/epoch of replay drift). 2K
-        # where+add ops — the rest of the chain stays whole-array.
-        cf_f, cr_f = carr_freq, code_rate
-        cf_steps, cr_steps = [], []
-        for e in range(kf):
-            upd_e = upd_all[:, e:e + 1]
-            cf_f = jnp.where(upd_e, cf_f + carr_nco_all[:, e:e + 1],
-                             cf_f)
-            cr_f = jnp.where(upd_e, cr_f + code_nco_all[:, e:e + 1],
-                             cr_f)
-            # each step feeds BOTH the telemetry row and the next fold
-            # step / state writeback; without the pin the compiler
-            # duplicates the producing expression into the two
-            # consumers' fusions and its excess-precision contraction
-            # can round them an ulp apart (observed on XLA:CPU),
-            # breaking the wire-vs-state exactness contract
-            if pin:
-                cf_f, cr_f = jax.lax.optimization_barrier(
-                    (cf_f, cr_f))
-            cf_steps.append(cf_f)
-            cr_steps.append(cr_f)
+        # final rates as ONE masked sum per accumulator (replacing the
+        # round-4 2K-step sequential left-fold, ~4K tiny [C, 1] ops
+        # per superstep). Both telemetry modes run this identical
+        # expression, so the slim2 wire's lean-vs-full bit-exactness
+        # contract (tests/test_wire2.py) is preserved: the contract is
+        # mode-agreement, not any particular f32 summation order — the
+        # host ledger replay consumes the kernel's OWN shipped
+        # increments (cols 19/20), never a recomputed rate.
+        upd_nco_c = upd_f * carr_nco_all               # [C, K]
+        upd_nco_d = upd_f * code_nco_all
+        cf_f = carr_freq + jnp.sum(upd_nco_c, axis=1, keepdims=True)
+        cr_f = code_rate + jnp.sum(upd_nco_d, axis=1, keepdims=True)
+        if pin:
+            cf_f, cr_f = jax.lax.optimization_barrier((cf_f, cr_f))
         u_last = jnp.max(jnp.where(upd_all, e_row, -1), axis=1,
                          keepdims=True)                 # [C, 1]
         oh_k = (e_row == u_last).astype(jnp.float32)
@@ -1384,23 +1401,38 @@ def _mxu_run_k(
             # superstep-start diagnostics ride epoch row 0 (slim2
             # reads them only there); 17-20 are the held rates + the
             # kernel's own ledger increments (see the sequential
-            # branch's comment)
+            # branch's comment). The E/L + loop-error columns are read
+            # at 2K stride only (_pack_wire2's sub = telem[::2k]), so
+            # the odd superstep of each grid step (telem_base != 0, a
+            # python static) skips their 6-column scatter entirely.
             wr0 = wr_all[:, 0:1]
-            row0 = scatter([
-                (0, i_e_all[:, 0:1] * wr0), (1, q_e_all[:, 0:1] * wr0),
-                (4, i_l_all[:, 0:1] * wr0), (5, q_l_all[:, 0:1] * wr0),
-                (8, pll_err_all[:, 0:1] * wr0),
-                (9, dll_err_all[:, 0:1] * wr0),
+            row0_pairs = [
                 (17, carr_freq), (18, code_rate),
                 (19, d_chip), (20, d_drift),
-            ])
+            ]
+            if telem_base == 0:
+                row0_pairs = [
+                    (0, i_e_all[:, 0:1] * wr0),
+                    (1, q_e_all[:, 0:1] * wr0),
+                    (4, i_l_all[:, 0:1] * wr0),
+                    (5, q_l_all[:, 0:1] * wr0),
+                    (8, pll_err_all[:, 0:1] * wr0),
+                    (9, dll_err_all[:, 0:1] * wr0),
+                ] + row0_pairs
+            row0 = scatter(row0_pairs)
             k_col = jax.lax.broadcasted_iota(jnp.int32, (kf, 1, 1), 0)
             slab = slab + (k_col == 0).astype(jnp.float32) * row0[None]
             telem_ref[telem_base:telem_base + kf] = slab
         else:
             # full wire: per-epoch rows, every diagnostic column, fed
             # from the vectorized values (cold-start consumers read
-            # every column; this path runs on the single-block API)
+            # every column; this path runs on the single-block API).
+            # Per-epoch post-update rate traces (cols 10/11) come from
+            # a closed-form masked prefix sum over the update deltas.
+            cf_steps_all = carr_freq + jnp.sum(
+                jnp.where(j3 <= e3, upd_nco_c[:, None, :], 0.0), axis=2)
+            cr_steps_all = code_rate + jnp.sum(
+                jnp.where(j3 <= e3, upd_nco_d[:, None, :], 0.0), axis=2)
             for e in range(kf):
                 wr_e = wr_all[:, e:e + 1]
                 telem_ref[telem_base + e] = scatter([
@@ -1414,7 +1446,8 @@ def _mxu_run_k(
                     (7, upd_f[:, e:e + 1]),
                     (8, pll_err_all[:, e:e + 1] * wr_e),
                     (9, dll_err_all[:, e:e + 1] * wr_e),
-                    (10, cf_steps[e]), (11, cr_steps[e]),
+                    (10, cf_steps_all[:, e:e + 1]),
+                    (11, cr_steps_all[:, e:e + 1]),
                     (12, n_t_f), (13, drift_all[:, e:e + 1]),
                     (14, chip_all[:, e:e + 1] * wr_e),
                     (15, emit_lost[:, e:e + 1]),
@@ -1551,6 +1584,7 @@ def _mxu_kernel(
     stream_re_ref,  # [1, L] shared sample stream (ANY/HBM)
     stream_im_ref,
     reps_ref,       # [C, R, WP] bf16 replica bank
+    sel_ref,        # [C, 2K*C, 2K] bf16 extraction masks (constant)
     state_in_ref,   # [C, 128]
     telem_ref,      # [2K, C, 128] out block, grid-indexed
     state_out_ref,  # [C, 128] out
@@ -1625,7 +1659,8 @@ def _mxu_kernel(
 
     def run(st, j, wr, wi, base):
         return _mxu_run_k(
-            st, j, wr, wi, reps_ref, telem_ref, w_scr, corr_scr, base,
+            st, j, wr, wi, reps_ref, sel_ref, telem_ref, w_scr,
+            corr_scr, base,
             lane, k_epochs=k_epochs, wp=wp, n0=n0, fs=fs,
             code_len=code_len, lock_threshold=lock_threshold,
             max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
@@ -1714,6 +1749,7 @@ def track_block_fused_mxu(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((2 * k_epochs, c_channels, N_FIELDS),
@@ -1754,7 +1790,7 @@ def track_block_fused_mxu(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, stream_re.reshape(1, -1), stream_im.reshape(1, -1),
-      replicas, state_in)
+      replicas, mxu_sel_constant(c_channels, k_epochs), state_in)
 
 
 def gather_segments(block_re, block_im, starts, l_seg: int, *,

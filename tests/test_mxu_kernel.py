@@ -214,3 +214,59 @@ class TestMxuReceiver:
         by_prn = {c["prn"]: c for c in s["channels"]}
         assert abs(by_prn[5]["last_doppler_hz"] - 1210.0) < 40
         assert abs(by_prn[9]["last_doppler_hz"] + 640.0) < 40
+
+
+class TestMxuChannelDeath:
+    """Forced loss-of-lock through the closed-form lifecycle chain
+    (_mxu_run_k's vector_chain): with an unreachable lock threshold
+    every epoch is unlocked, the lost counter is the epoch index + 1,
+    and the channel must die exactly when it crosses max_lost — same
+    epoch, same flags, same final counters as the per-epoch direct
+    layout (reference lifecycle: do_tracking.rs:197-208)."""
+
+    def _run_dead(self, layout, wire="f32", max_lost=7):
+        T, B = 20, 3
+        block = T * N0
+        history = 2 * N0 + 4096
+        sre, sim = _scene(history + B * block)
+        cfg = TrackConfig(n_channels=C, correlator="fused",
+                          lock_threshold=1e12,
+                          max_lost_epochs=max_lost)
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
+                                              window=params.window)
+        codes_rows = jnp.asarray(np.asarray(codes_s)[np.arange(C)])
+        ft = fr.FusedTracker(params, cfg, GPS_L1CA, FS, codes_s, T,
+                             history + block, layout=layout, wire=wire)
+        st, telems = ft.run_blocks(_aligned_state(), sre, sim,
+                                   codes_rows, B)
+        return st, telems
+
+    @pytest.mark.parametrize("max_lost", [3, 7, 12])
+    def test_death_epoch_matches_direct(self, max_lost):
+        st_d, tl_d = self._run_dead("direct", max_lost=max_lost)
+        st_m, tl_m = self._run_dead("mxu", max_lost=max_lost)
+        np.testing.assert_array_equal(st_d.active, st_m.active)
+        np.testing.assert_array_equal(st_d.lost_count, st_m.lost_count)
+        assert not np.any(st_m.active)          # everyone died
+        for b, (a, s) in enumerate(zip(tl_d, tl_m)):
+            np.testing.assert_array_equal(a.processed, s.processed)
+            np.testing.assert_array_equal(a.lost_event, s.lost_event,
+                                          err_msg=f"block {b}")
+            np.testing.assert_array_equal(a.locked, s.locked)
+        # exactly one lost_event per channel, at epoch max_lost - 1
+        ev = np.concatenate([t.lost_event for t in tl_m], axis=0)
+        assert ev.sum(axis=0).tolist() == [1] * C
+        assert np.argmax(ev, axis=0).tolist() == [max_lost - 1] * C
+
+    def test_slim2_wire_matches_f32_on_death(self):
+        st_f, tl_f = self._run_dead("mxu", wire="f32")
+        st_s, tl_s = self._run_dead("mxu", wire="slim2")
+        np.testing.assert_array_equal(st_f.active, st_s.active)
+        np.testing.assert_array_equal(st_f.lost_count, st_s.lost_count)
+        for a, s in zip(tl_f, tl_s):
+            np.testing.assert_array_equal(a.processed, s.processed)
+            np.testing.assert_array_equal(a.lost_event, s.lost_event)
+            np.testing.assert_array_equal(a.locked, s.locked)
+            np.testing.assert_array_equal(a.start_offset,
+                                          s.start_offset)

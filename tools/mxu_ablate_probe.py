@@ -41,6 +41,9 @@ def main():
     # the slope is noise (device time at ~4 ms/signal-s is only ~2 ms
     # per 500 ms block)
     ap.add_argument("--blocks", type=int, default=64)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma list of chain names to run (substring "
+                    "match); empty = all")
     args = ap.parse_args()
 
     spec = GPS_L1CA
@@ -120,6 +123,9 @@ def main():
     sig_s = t_epochs / 1000.0
 
     def measure(name, mk):
+        if args.only and not any(
+                tok in name for tok in args.only.split(",")):
+            return None
         f1, f2 = mk(n1), mk(n2)
         jax.device_get(f1(mat, jnp.int32(0))[1])
         jax.device_get(f2(mat, jnp.int32(0))[1])
@@ -141,6 +147,8 @@ def main():
     measure("kernel/nomix+ns", lambda n: kernel_chain(n,
                                                       "nomix,nosmall"))
     measure("kernel/nosmall", lambda n: kernel_chain(n, "nosmall"))
+    measure("kernel/stopsel", lambda n: kernel_chain(n, "stopsel"))
+    measure("kernel/stop3", lambda n: kernel_chain(n, "stop3"))
     measure("kernel/noroll", lambda n: kernel_chain(n, "noroll",
                                                     telem_mode="lean"))
     measure("kernel/notelem", lambda n: kernel_chain(n, "notelem"))
