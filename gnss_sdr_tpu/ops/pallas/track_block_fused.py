@@ -744,11 +744,15 @@ def _direct_kernel(
         cps = []
         for c in range(c_channels):
             a = pl.multiple_of(starts_ref[c] + off, 128)
+            # integer dim-0 index (not a 0:1 slice): a sub-32-bit HBM
+            # memref tiles its second-minor dim (bf16: (2, 128)) and a
+            # size-1 dim-0 slice violates that tiling; indexing
+            # eliminates the dim instead (works for f32 too)
             cps.append(pltpu.make_async_copy(
-                stream_re_ref.at[0:1, pl.ds(a, span)], wr.at[c],
+                stream_re_ref.at[0, pl.ds(a, span)], wr.at[c, 0],
                 sems.at[slot, 0]))
             cps.append(pltpu.make_async_copy(
-                stream_im_ref.at[0:1, pl.ds(a, span)], wi.at[c],
+                stream_im_ref.at[0, pl.ds(a, span)], wi.at[c, 0],
                 sems.at[slot, 1]))
         return cps
 
@@ -954,8 +958,12 @@ def mxu_rows(n_drift: int, el_shift: int) -> int:
     drift select AND the early/late lags can address —
     ``n_drift + 2 * el_shift`` consecutive shifts (correlating against
     all of them up front replaces the in-kernel variant select + rolls;
-    selection happens on the [C, R] correlation OUTPUTS instead)."""
-    return n_drift + 2 * el_shift
+    selection happens on the [C, R] correlation OUTPUTS instead).
+    Padded up to 8 rows when that fits: 8-row blocks make the stage-2
+    diagonal extraction slices sublane-aligned (the extra rows are
+    extra usable drift range; the +14% bank MACs ride the MXU free)."""
+    rows = n_drift + 2 * el_shift
+    return 8 if rows <= 8 else rows
 
 
 def _mxu_run_k(
@@ -1047,6 +1055,14 @@ def _mxu_run_k(
     # ---- stage 1: mix + mask + bf16 im2col (VPU) --------------------
     w128 = wp // 128
     qk = 2 * k_epochs
+    if "dmaonly" in ablate:      # profiling hook: window DMA cost only
+        fid0 = jax.lax.broadcasted_iota(jnp.int32, (1, N_FIELDS), 1)
+        probe = (wre_slot[:, 0, :1] + wim_slot[:, 0, :1]
+                 ).astype(jnp.float32)
+        row0 = (fid0 == 0).astype(jnp.float32) * probe
+        for e in range(k_epochs):
+            telem_ref[telem_base + e] = row0
+        return st + 1e-20 * row0
     q128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
         jnp.float32)
     if "nomix" not in ablate:
@@ -1629,11 +1645,15 @@ def _mxu_kernel(
         cps = []
         for c in range(c_channels):
             a = pl.multiple_of(starts_ref[c] + off, 128)
+            # integer dim-0 index (not a 0:1 slice): a sub-32-bit HBM
+            # memref tiles its second-minor dim (bf16: (2, 128)) and a
+            # size-1 dim-0 slice violates that tiling; indexing
+            # eliminates the dim instead (works for f32 too)
             cps.append(pltpu.make_async_copy(
-                stream_re_ref.at[0:1, pl.ds(a, span)], wr.at[c],
+                stream_re_ref.at[0, pl.ds(a, span)], wr.at[c, 0],
                 sems.at[slot, 0]))
             cps.append(pltpu.make_async_copy(
-                stream_im_ref.at[0:1, pl.ds(a, span)], wi.at[c],
+                stream_im_ref.at[0, pl.ds(a, span)], wi.at[c, 0],
                 sems.at[slot, 1]))
         return cps
 
@@ -1759,10 +1779,10 @@ def track_block_fused_mxu(
         ),
         scratch_shapes=[
             pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
-            pltpu.VMEM((c_channels, 1, span), jnp.float32),
-            pltpu.VMEM((c_channels, 1, span), jnp.float32),
-            pltpu.VMEM((c_channels, 1, span), jnp.float32),
-            pltpu.VMEM((c_channels, 1, span), jnp.float32),
+            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
             pltpu.VMEM((2 * k_epochs, c_channels, wp), jnp.bfloat16),
             pltpu.VMEM((c_channels, 2 * k_epochs, r_rows), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -2073,7 +2093,11 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
     """
     half = (n_drift - 1) // 2
     el_pad = el_shift + half           # window preroll (see kernel)
-    seg_len = wp + 2 * half
+    # even n_drift (the mxu layout's 8-row padded bank): rows extend
+    # one shift PAST the symmetric range; pad the segment so every
+    # row's static slice start stays >= 0
+    pad0 = max(0, (n_drift - 1) - 2 * half)
+    seg_len = wp + 2 * half + pad0
     # worst-case slice end over anchors in [0, n0): a short table makes
     # dynamic_slice CLAMP silently and the replica comes out misaligned
     # by up to the shortfall — a whole-block tracking collapse
@@ -2106,14 +2130,14 @@ def build_replicas(codes3x, chip_phase, chips_per_sample, el_shift: int,
         # epoch-start lane el_pad maps to chip phase s_i; drift d means
         # the epoch starts d samples LATE in the window, so the replica
         # shifts back by d
-        base_start = s_i + n0_i - el_pad - half
+        base_start = s_i + n0_i - el_pad - half - pad0
         if lane_shift is not None:
             base_start = base_start - lane_shift[c]
         seg = jax.lax.dynamic_slice(
             codes3x[c], (base_start,), (seg_len,))
         rows = []
         for d in range(n_drift):
-            rel = 2 * half - d
+            rel = 2 * half - d + pad0
             rows.append(jax.lax.slice(seg, (rel,), (rel + wp,)))
         out.append(jnp.stack(rows))
     return jnp.stack(out)

@@ -84,7 +84,8 @@ class TestMxuParity:
         ft, _ = _tracker("mxu", 20, 2 * N0 + 4096, 20 * N0)
         assert ft.layout == "mxu"
         assert ft.k_epochs == 5
-        assert ft.n_rows == 7          # n_drift 5 + 2 * el_shift 1
+        # n_drift 5 + 2 * el_shift 1 = 7, padded to the aligned 8
+        assert ft.n_rows == 8
         assert ft.wp % 128 == 0
 
     def test_epoch0_correlations_match_direct(self):

@@ -144,6 +144,7 @@ def main():
               f"{min(slopes)/max(slopes):.2f}")
         return per_ss
 
+    measure("kernel/dmaonly", lambda n: kernel_chain(n, "dmaonly"))
     measure("kernel/nomix+ns", lambda n: kernel_chain(n,
                                                       "nomix,nosmall"))
     measure("kernel/nosmall", lambda n: kernel_chain(n, "nosmall"))
