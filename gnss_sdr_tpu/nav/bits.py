@@ -254,22 +254,26 @@ class FrameDecoder:
         seg = np.asarray(self.bits[start:start + count], dtype=np.int8) * polarity
         return ((seg + 1) // 2).astype(np.uint8)
 
+    #: preamble as plain int lists for the per-bit fast path (building
+    #: a numpy view of the trailing 308 bits EVERY bit measured as the
+    #: dominant host nav cost at 32 channels — ~8 ms/signal-s)
+    _PRE_POS = [int(b) for b in C.GPS_CA_PREAMBLE_BITS]
+    _PRE_NEG = [-b for b in _PRE_POS]
+
     def _try_lock(self) -> Optional[Subframe]:
         """O(1) per bit: test the alignment where a full subframe plus
         the NEXT subframe's preamble just completed (two preambles 300
         bits apart, reference decoding.rs:213-223, hardened by verifying
-        all ten words' parity before declaring lock)."""
+        all ten words' parity before declaring lock). Pure-list
+        preamble compares gate the (rare) numpy parity verification."""
         n = len(self.bits)
         start = n - 8 - SUBFRAME_BITS
         if start < 2:
             return None
-        arr = np.asarray(self.bits[start:], dtype=np.int8)
-        for pol in (1, -1):
-            if not np.array_equal(arr[:8] * pol, PREAMBLE):
-                continue
-            if not np.array_equal(
-                arr[SUBFRAME_BITS:SUBFRAME_BITS + 8] * pol, PREAMBLE
-            ):
+        head = self.bits[start:start + 8]
+        tail = self.bits[start + SUBFRAME_BITS:start + SUBFRAME_BITS + 8]
+        for pol, pre in ((1, self._PRE_POS), (-1, self._PRE_NEG)):
+            if head != pre or tail != pre:
                 continue
             saved_pol = self.polarity
             self.polarity = pol

@@ -216,6 +216,18 @@ class StreamingDeviceSource:
         self._thread = None
         self._block_n = None
         self._stopping = False
+        # overlap accounting (the architectural claim this class makes:
+        # the feeder stays AHEAD so the consumer never blocks on
+        # ingest). consumer_wait_s accumulates time read() spent
+        # blocked on an empty queue AFTER the first block (cold fill is
+        # pipeline latency, not a stall); depth_sum/depth_n give the
+        # mean queue depth observed at read time.
+        self.reads = 0
+        self.consumer_wait_s = 0.0
+        self.cold_wait_s = 0.0
+        self.max_queue_depth = 0
+        self._depth_sum = 0
+        self._depth_n = 0
 
     def _stage(self, raw):
         import jax
@@ -286,7 +298,20 @@ class StreamingDeviceSource:
             raise ValueError(
                 f"StreamingDeviceSource block size changed: "
                 f"{self._block_n} -> {n}")
+        import time as _time
+
+        d = self._queue.qsize()
+        self.max_queue_depth = max(self.max_queue_depth, d)
+        self._depth_sum += d
+        self._depth_n += 1
+        t0 = _time.perf_counter()
         item = self._queue.get()
+        wait = _time.perf_counter() - t0
+        if self.reads == 0:
+            self.cold_wait_s += wait
+        else:
+            self.consumer_wait_s += wait
+        self.reads += 1
         if item is None:
             return None
         re, im, size, scale = item
@@ -297,6 +322,21 @@ class StreamingDeviceSource:
             re = re[:size]
             im = im[:size]
         return (re, im)
+
+    def stats(self) -> dict:
+        """Overlap counters: did the feeder actually keep the device
+        fed? consumer_wait_s ~ 0 and mean_queue_depth > 0 mean the
+        upload pipeline stayed ahead of the consumer; a large
+        consumer_wait_s attributes a slow streamed RTF to the ingest
+        LINK, not to a stalled feeder design."""
+        return {
+            "reads": self.reads,
+            "consumer_wait_s": round(self.consumer_wait_s, 4),
+            "cold_fill_s": round(self.cold_wait_s, 4),
+            "max_queue_depth": self.max_queue_depth,
+            "mean_queue_depth": round(
+                self._depth_sum / max(self._depth_n, 1), 2),
+        }
 
     def close(self):
         # signal the feeder (its bounded _put observes the flag), then
