@@ -1705,6 +1705,155 @@ def _mxu_kernel(
         state_out_ref[:] = st
 
 
+def _mxu_kernel_shared(
+    starts_ref,     # [C+1] int32: per-channel a_c, [C] = base
+    stream_re_ref,  # [1, L] shared sample stream (ANY/HBM)
+    stream_im_ref,
+    reps_ref,       # [C, R, WP] bf16 replica bank
+    sel_ref,        # [C, 2K*C, 2K] bf16 extraction masks (constant)
+    state_in_ref,   # [C, 128]
+    telem_ref,      # [2K, C, 128] out block, grid-indexed
+    state_out_ref,  # [C, 128] out
+    state,          # [C, 128] f32 VMEM scratch
+    w0r, w0i,       # [C, 1, span] window slots (double buffer)
+    w1r, w1i,
+    w_scr,          # [2K, C, WP] bf16 im2col scratch
+    corr_scr,       # [C, 2K, R] f32 correlation scratch
+    shar, shai,     # [1, span_u] shared superstep slots (A: even j)
+    shbr, shbi,     # (B: odd j)
+    sems,           # local-copy sems [2 slots, 2 components]
+    sh_sems,        # shared-fetch sems [2 slots, 2 components]
+    *,
+    c_channels: int,
+    k_epochs: int,
+    wp: int,
+    span: int,
+    span_u: int,
+    n0: int,
+    fs: float,
+    code_len: float,
+    lock_threshold: float,
+    max_lost: int,
+    pll_c1: float,
+    pll_c2: float,
+    dll_c1: float,
+    dll_c2: float,
+    el_shift: int,
+    aiding_scale: float,
+    if_freq: float,
+    lock_mode: str,
+    costas_thr: float,
+    interp: bool,
+    ablate: str = "",
+    telem_mode: str = "full",
+    pin: bool = False,
+):
+    """Shared-fetch superstep pipeline: ONE [1, span_u] HBM fetch per
+    superstep feeds all channels (the per-channel variant re-reads
+    ~C-fold overlapping slices of the SAME stream from HBM — measured
+    0.73 ms/signal-s of pure DMA at 32 channels, tools/
+    mxu_ablate_probe.py dmaonly). Per-channel windows then come from
+    VMEM-local copies at offset dc = starts[c] - base (constant across
+    supersteps — the caller guarantees 0 <= dc <= span_u - span and
+    base + span_u <= len(stream), see track_block_fused_mxu).
+
+    Three-stage pipeline per grid step: compute(j) overlaps the local
+    copies of j+1 and the (tiny) shared fetch of j+2.
+    """
+    u = pl.program_id(0)
+    n_u = pl.num_programs(0)
+    kk = k_epochs * n0
+    base = pl.multiple_of(starts_ref[c_channels], 128)
+
+    def fetch(j, sr, si, slot):
+        off = (j * kk // 128) * 128
+        a = pl.multiple_of(base + off, 128)
+        return [
+            pltpu.make_async_copy(
+                stream_re_ref.at[0, pl.ds(a, span_u)], sr.at[0],
+                sh_sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                stream_im_ref.at[0, pl.ds(a, span_u)], si.at[0],
+                sh_sems.at[slot, 1]),
+        ]
+
+    def locals_(wr, wi, slot, sr, si):
+        # source offsets are j-independent: window j of channel c sits
+        # at starts[c] + off_j = (base + off_j) + dc in the stream, and
+        # the slot for superstep j starts at base + off_j
+        cps = []
+        for c in range(c_channels):
+            dc = pl.multiple_of(starts_ref[c] - base, 128)
+            cps.append(pltpu.make_async_copy(
+                sr.at[0, pl.ds(dc, span)], wr.at[c, 0],
+                sems.at[slot, 0]))
+            cps.append(pltpu.make_async_copy(
+                si.at[0, pl.ds(dc, span)], wi.at[c, 0],
+                sems.at[slot, 1]))
+        return cps
+
+    def start(cps):
+        for cp in cps:
+            cp.start()
+
+    def wait(cps):
+        for cp in cps:
+            cp.wait()
+
+    @pl.when(u == 0)
+    def _():
+        state[:] = state_in_ref[:]
+        start(fetch(0, shar, shai, 0))
+        wait(fetch(0, shar, shai, 0))
+        start(locals_(w0r, w0i, 0, shar, shai))
+        start(fetch(1, shbr, shbi, 1))
+
+    j0 = 2 * u
+    j1 = 2 * u + 1
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(
+        jnp.float32)
+
+    def run(st, j, wr, wi, tb):
+        return _mxu_run_k(
+            st, j, wr, wi, reps_ref, sel_ref, telem_ref, w_scr,
+            corr_scr, tb,
+            lane, k_epochs=k_epochs, wp=wp, n0=n0, fs=fs,
+            code_len=code_len, lock_threshold=lock_threshold,
+            max_lost=max_lost, pll_c1=pll_c1, pll_c2=pll_c2,
+            dll_c1=dll_c1, dll_c2=dll_c2, el_shift=el_shift,
+            aiding_scale=aiding_scale, if_freq=if_freq,
+            lock_mode=lock_mode, costas_thr=costas_thr, interp=interp,
+            ablate=ablate, telem_mode=telem_mode, pin=pin)
+
+    # windows j0 ready; shared data j1 ready; locals j1 overlap run j0
+    wait(locals_(w0r, w0i, 0, shar, shai))
+    wait(fetch(j1, shbr, shbi, 1))
+    start(locals_(w1r, w1i, 1, shbr, shbi))
+
+    @pl.when(u + 1 < n_u)
+    def _():
+        start(fetch(j0 + 2, shar, shai, 0))   # A free: locals drained
+
+    st = run(state[:, :], j0, w0r, w0i, 0)
+
+    wait(locals_(w1r, w1i, 1, shbr, shbi))
+
+    @pl.when(u + 1 < n_u)
+    def _():
+        wait(fetch(j0 + 2, shar, shai, 0))
+        start(locals_(w0r, w0i, 0, shar, shai))   # w0 free: run j0 done
+        start(fetch(j1 + 2, shbr, shbi, 1))       # B free: locals drained
+
+    st = run(st, j1, w1r, w1i, k_epochs)
+    state[:] = st
+
+    @pl.when(u == n_u - 1)
+    def _():
+        state_out_ref[:] = st
+
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1712,6 +1861,7 @@ def _mxu_kernel(
         "lock_threshold", "max_lost", "pll_c1", "pll_c2", "dll_c1",
         "dll_c2", "el_shift", "interpret", "aiding_scale", "if_freq",
         "lock_mode", "costas_thr", "interp", "ablate", "telem_mode",
+        "spread_cap",
     ),
 )
 def track_block_fused_mxu(
@@ -1742,6 +1892,7 @@ def track_block_fused_mxu(
     interp: bool = False,
     ablate: str = "",
     telem_mode: str = "full",
+    spread_cap: int = 0,
 ):
     """MXU-layout fused tracking: T epochs, ONE kernel launch, the
     E/P/L correlation of each K-epoch superstep as ONE block-diagonal
@@ -1749,7 +1900,15 @@ def track_block_fused_mxu(
     held-rate superstep semantics and tools/mxu_probe2.py for the
     formulation study). Same DMA structure, state columns and telemetry
     contract as track_block_fused_direct; requires wp % 128 == 0 and
-    t_epochs % (2 * k_epochs) == 0."""
+    t_epochs % (2 * k_epochs) == 0.
+
+    ``spread_cap > 0`` selects the SHARED-FETCH pipeline
+    (_mxu_kernel_shared): ``starts`` is then [C + 1] with
+    starts[C] = base, and the caller guarantees, for every channel,
+    0 <= starts[c] - base <= spread_cap (128-multiples) and
+    base + span + spread_cap <= len(stream) (anchor base to
+    max(starts) - spread_cap and the existing per-channel buffer bound
+    implies it). Cuts per-superstep HBM traffic ~C-fold."""
     c_channels = state_in.shape[0]
     if wp % 128:
         raise ValueError(f"mxu layout requires wp % 128 == 0, got {wp}")
@@ -1761,6 +1920,46 @@ def track_block_fused_mxu(
     span = direct_span(k_epochs, n0, wp)
     r_rows = replicas.shape[1]
 
+    scratch = [
+        pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
+        pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+        pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+        pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+        pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
+        pltpu.VMEM((2 * k_epochs, c_channels, wp), jnp.bfloat16),
+        pltpu.VMEM((c_channels, 2 * k_epochs, r_rows), jnp.float32),
+    ]
+    kw = dict(
+        c_channels=c_channels, k_epochs=k_epochs, wp=wp, span=span,
+        n0=n0, fs=fs, code_len=code_len,
+        lock_threshold=lock_threshold, max_lost=max_lost,
+        pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
+        el_shift=el_shift, aiding_scale=aiding_scale,
+        if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
+        interp=interp, ablate=ablate, telem_mode=telem_mode,
+        pin=interpret,
+    )
+    if spread_cap > 0:
+        if spread_cap % 128:
+            raise ValueError(f"spread_cap must be a 128-multiple, got "
+                             f"{spread_cap}")
+        if starts.shape[0] != c_channels + 1:
+            raise ValueError(
+                "shared-fetch mxu expects starts [C + 1] (last = base)")
+        span_u = span + spread_cap
+        kernel = functools.partial(_mxu_kernel_shared, span_u=span_u,
+                                   **kw)
+        scratch += [
+            pltpu.VMEM((1, span_u), stream_re.dtype),
+            pltpu.VMEM((1, span_u), stream_re.dtype),
+            pltpu.VMEM((1, span_u), stream_re.dtype),
+            pltpu.VMEM((1, span_u), stream_re.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        kernel = functools.partial(_mxu_kernel, **kw)
+        scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_u,),
@@ -1777,29 +1976,10 @@ def track_block_fused_mxu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((c_channels, N_FIELDS), jnp.float32),
-            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
-            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
-            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
-            pltpu.VMEM((c_channels, 1, span), stream_re.dtype),
-            pltpu.VMEM((2 * k_epochs, c_channels, wp), jnp.bfloat16),
-            pltpu.VMEM((c_channels, 2 * k_epochs, r_rows), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(
-            _mxu_kernel,
-            c_channels=c_channels, k_epochs=k_epochs, wp=wp, span=span,
-            n0=n0, fs=fs, code_len=code_len,
-            lock_threshold=lock_threshold, max_lost=max_lost,
-            pll_c1=pll_c1, pll_c2=pll_c2, dll_c1=dll_c1, dll_c2=dll_c2,
-            el_shift=el_shift, aiding_scale=aiding_scale,
-            if_freq=if_freq, lock_mode=lock_mode, costas_thr=costas_thr,
-            interp=interp, ablate=ablate, telem_mode=telem_mode,
-            pin=interpret,
-        ),
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((t_epochs, c_channels, N_FIELDS),
                                  jnp.float32),

@@ -11,10 +11,10 @@ back, once per sample block:
 
 Re-anchoring each block keeps the cross-block bookkeeping exact (u32)
 while the in-block loop runs in f32 on-core — the fused kernel's design
-contract. Measured on one TPU v5e chip (round 4, honest timing): the
-shipped mxu-layout multi-block scan runs 32 channels at
-~3.9 ms/signal-second (~260x realtime) vs 1.9x for the scanned XLA
-path (ROADMAP.md performance ledger).
+contract. Shipped-path performance numbers live in the round's
+BENCH_r{N}.json (canonical) and the ROADMAP.md round-5 ledger; the
+scanned XLA path the kernel replaces measured 1.9x realtime on the
+same chip.
 
 Lifecycle corners handled here, not in the kernel:
 
@@ -245,8 +245,21 @@ class FusedTracker:
             self._step = functools.partial(self._step,
                                            k_epochs=self.k_epochs)
         if layout == "mxu":
+            # shared-fetch window feed: one HBM fetch per superstep +
+            # per-channel VMEM copies (kernel docstring). The cap
+            # bounds the per-channel DMA-start spread the shared slot
+            # covers (~1 code period + walk/drift margin; channels
+            # beyond it defer a block — unreachable in steady state,
+            # where post-walk offsets live in [el_pad, el_pad + n0)).
+            # Disabled under a mesh: the [C+1] starts vector does not
+            # channel-shard.
+            self.spread_cap = (0 if mesh is not None
+                               else ((self.n0 + 512 + 127) // 128) * 128)
             self._step = functools.partial(self._step,
-                                           n_rows=self.n_rows)
+                                           n_rows=self.n_rows,
+                                           spread_cap=self.spread_cap)
+        else:
+            self.spread_cap = 0
         if mesh is not None:
             # channel-shard the kernel over the mesh: each device runs
             # the pallas step on its own channel rows (zero collectives)
@@ -330,6 +343,7 @@ class FusedTracker:
         # result downloads batch into ONE device_get round trip — each
         # separate transfer costs a full sync quantum on a remote
         # device transport (~30 ms on the tunneled session backend)
+        step_args = ()
         if self.layout in ("seg", "direct", "mxu"):
             # 128-aligned gather/DMA starts; the residue rem_c0 rides
             # col 9 (as el_pad + rem_c0 = off - a_c, the kernel's mask
@@ -337,6 +351,19 @@ class FusedTracker:
             # lane_shift)
             a_c = ((offset0 - self.el_pad) // 128) * 128
             a_c = np.where(eligible, np.maximum(a_c, 0), 0)
+            if self.spread_cap:
+                # shared-fetch guard: base anchors to the HIGHEST
+                # eligible start (so base + span_u never over-reads the
+                # buffer); channels spread further than the cap below
+                # it defer one block (kernel contract,
+                # track_block_fused_mxu docstring)
+                mx = int(a_c[eligible].max()) if eligible.any() else 0
+                base = max(0, mx - self.spread_cap)
+                eligible = eligible & (a_c >= base)
+                a_c = np.where(eligible, a_c, base)
+                mat[:, 7] = eligible.astype(np.float32)
+                step_args = (jnp.asarray(np.append(a_c, base)
+                                         .astype(np.int32)),)
             mat[:, 9] = np.where(eligible, offset0 - a_c,
                                  self.el_pad).astype(np.float32)
             mat[:, 12] = a_c.astype(np.float32)
@@ -345,7 +372,7 @@ class FusedTracker:
         mat[:, 13] = anchor.astype(np.float32)
         telem_m, mat_out = jax.device_get(self._step(
             jnp.asarray(block_re), jnp.asarray(block_im),
-            codes_rows, jnp.asarray(mat),
+            codes_rows, jnp.asarray(mat), *step_args,
         ))
 
         # ---- absorb kernel state back into the exact ledger ----------
@@ -620,9 +647,15 @@ class FusedTracker:
         handle = self.submit_span(state, stream_re, stream_im,
                                   codes_rows, n_blocks,
                                   extra_args=extra_args)
-        telems, extra = self.collect_span(handle)
+        # ONE device_get for telemetry + search output + ledger: each
+        # separate fetch is a full sync round trip on a remote device
+        # transport (~25 ms on the tunneled session link — at 8 s spans
+        # a second fetch alone costs ~3 ms/signal-s of e2e budget)
+        ys, extra, led = jax.device_get(
+            (handle.ys, handle.extra, handle.led))
+        telems, extra = self.collect_span(handle, fetched=(ys, extra))
         self.last_span_extra = extra
-        return self.absorb_led(state, handle.led), telems
+        return self.absorb_led(state, led), telems
 
     # ------------------------------------------------------------------
     # Pipelined span API: submit_span dispatches asynchronously and the
@@ -644,7 +677,9 @@ class FusedTracker:
             np.asarray(state.lost_count, dtype=np.float32),
             np.asarray(state.lock_ema, dtype=np.float32),
         ], axis=1)                                     # [C, 7]
-        return tuple(jax.device_put(x) for x in (
+        # ONE batched device_put (a per-leaf put is 6 separate
+        # transfers on the wire; the tunnel charges per transfer)
+        return jax.device_put((
             np.asarray(state.active).astype(np.float32),
             np.asarray(state.offset).astype(np.int32),
             np.asarray(state.epochs).astype(np.int32),
@@ -676,11 +711,14 @@ class FusedTracker:
         return _SpanHandle(led=led_f, ys=ys, extra=extra,
                            n_blocks=n_blocks)
 
-    def collect_span(self, handle):
+    def collect_span(self, handle, fetched=None):
         """Download one span's telemetry (+ in-span search output) and
         build the per-block EpochTelemetry list. Does NOT touch the
-        ledger (stays on device for chaining)."""
-        ys, extra = jax.device_get((handle.ys, handle.extra))
+        ledger (stays on device for chaining). ``fetched`` supplies
+        (ys, extra) already downloaded by the caller (run_blocks
+        batches them with the ledger into one round trip)."""
+        ys, extra = (fetched if fetched is not None
+                     else jax.device_get((handle.ys, handle.extra)))
         extra = extra if self.span_extra is not None else None
         telems_m, aux_off, aux_ep, aux_ci, aux_cf = ys
         telems = []
@@ -756,6 +794,7 @@ class FusedTracker:
         aid = np.float32(self.aiding_scale)
         iff = np.float32(self.if_freq)
         step = self._step
+        spread_cap = self.spread_cap
         pack = {"slim": self._pack_wire, "slim2": self._pack_wire2,
                 "f32": None}[self.wire]
         # slim2 only reads diagnostics at superstep-start epochs: the
@@ -791,6 +830,17 @@ class FusedTracker:
                 a_abs = jnp.where(
                     eligible,
                     jnp.maximum(((off_abs - el_pad) >> 7) << 7, 0), 0)
+                if spread_cap:
+                    # shared-fetch guard (see run_block's commentary)
+                    mx = jnp.max(jnp.where(eligible, a_abs, 0))
+                    sh_base = jnp.maximum(mx - spread_cap, 0)
+                    eligible = jnp.logical_and(eligible,
+                                               a_abs >= sh_base)
+                    a_abs = jnp.where(eligible, a_abs, sh_base)
+                    starts_arg = jnp.concatenate(
+                        [a_abs, sh_base[None]]).astype(jnp.int32)
+                else:
+                    starts_arg = a_abs
                 col9 = jnp.where(eligible,
                                  (off_abs - a_abs).astype(jnp.float32),
                                  jnp.float32(el_pad))
@@ -801,7 +851,7 @@ class FusedTracker:
                     frac0, fc[:, 6], zero, anchor], axis=1)
                 mat = jnp.pad(cols, ((0, 0), (0, fused.N_FIELDS - 14)))
                 telem_m, mat_out = step(stream_re, stream_im,
-                                        codes_rows, mat, a_abs,
+                                        codes_rows, mat, starts_arg,
                                         **step_kw)
                 # ---- in-graph absorb (run_block's numpy, in jnp) ----
                 delta = mat_out[:, 4]
@@ -979,7 +1029,7 @@ def _fused_block_step_direct(block_re, block_im,
                      "pll_c1", "pll_c2", "dll_c1", "dll_c2",
                      "aiding_scale", "if_freq", "lock_mode",
                      "costas_thr", "interp", "k_epochs", "n_rows",
-                     "telem_mode"),
+                     "telem_mode", "spread_cap"),
 )
 def _fused_block_step_mxu(block_re, block_im,
                           codes_rows, state_mat, starts=None, *,
@@ -990,7 +1040,7 @@ def _fused_block_step_mxu(block_re, block_im,
                           aiding_scale=0.0, if_freq=0.0,
                           lock_mode="power", costas_thr=0.4,
                           interp=False, k_epochs=1, n_rows=7,
-                          telem_mode="full"):
+                          telem_mode="full", spread_cap=0):
     """MXU-layout block step: same direct-DMA structure, but the E/P/L
     correlation of each K-epoch superstep runs as ONE block-diagonal
     bf16 MXU contraction (track_block_fused_mxu). The replica bank
@@ -1001,6 +1051,9 @@ def _fused_block_step_mxu(block_re, block_im,
     the replica)."""
     interpret = jax.default_backend() == "cpu"
     if starts is None:
+        if spread_cap:
+            raise ValueError(
+                "shared-fetch mxu needs explicit [C+1] starts")
         starts = state_mat[:, 12].astype(jnp.int32)    # a_c, 128-aligned
     anchor = state_mat[:, 13].astype(jnp.int32)
     rem_c0 = (state_mat[:, 9] - jnp.float32(el_pad)).astype(jnp.int32)
@@ -1018,5 +1071,6 @@ def _fused_block_step_mxu(block_re, block_im,
         aiding_scale=aiding_scale, if_freq=if_freq, lock_mode=lock_mode,
         costas_thr=costas_thr, interp=interp,
         interpret=interpret, telem_mode=telem_mode,
+        spread_cap=spread_cap,
     )
     return telem[:, :, :N_TELEM_COLS_MXU], st

@@ -81,9 +81,24 @@ class TeeSource:
 class MultiConstellationReceiver:
     """Round-robin stepping of per-signal receivers over one stream."""
 
-    def __init__(self, configs: dict[str, ReceiverConfig], source: SampleSource):
-        tee = TeeSource(source, len(configs))
+    def __init__(self, configs: dict[str, ReceiverConfig],
+                 source: Optional[SampleSource] = None, *,
+                 sources: Optional[dict] = None):
+        """``source``: one host stream, tee-split across signals.
+        ``sources``: a per-signal source dict instead (same keys as
+        ``configs``) — the device-resident path: DeviceArraySource
+        and StreamingDeviceSource hand out device planar pairs that a
+        host-side tee cannot buffer, so each branch brings its own."""
         self.receivers: dict[str, Receiver] = {}
+        if sources is not None:
+            if set(sources) != set(configs):
+                raise ValueError("sources keys must match configs")
+            for name, cfg in configs.items():
+                self.receivers[name] = Receiver(cfg, sources[name])
+            return
+        if source is None:
+            raise ValueError("need source or sources")
+        tee = TeeSource(source, len(configs))
         for i, (name, cfg) in enumerate(configs.items()):
             self.receivers[name] = Receiver(cfg, tee.branch(i))
 
@@ -93,8 +108,33 @@ class MultiConstellationReceiver:
             alive |= rx.step()
         return alive
 
-    def run(self, max_blocks: Optional[int] = None) -> dict:
+    def step_scan(self, k: int) -> bool:
+        """Round-robin one ``k``-block stretch per receiver, as a
+        device span where that signal's fused scan path allows it
+        (Receiver.run handles the steady-mode gating, boundary
+        searches, and the single-block fallback for non-fused
+        correlators). The tee keeps every branch's stream position
+        independent, so one stretch per branch is exactly k sequential
+        step()s worth of samples."""
+        alive = False
+        for rx in self.receivers.values():
+            t0 = rx.time_ms
+            rx.run(max_blocks=k, scan_blocks=k)
+            alive |= rx.time_ms > t0
+        return alive
+
+    def run(self, max_blocks: Optional[int] = None,
+            scan_blocks: int = 1) -> dict:
         blocks = 0
+        if scan_blocks > 1:
+            # whole spans only: a shorter trailing span would be a
+            # fresh program shape (and a fresh compile) — the receiver
+            # span API's static-shape rule (Receiver.step_scan)
+            while ((max_blocks is None
+                    or blocks + scan_blocks <= max_blocks)
+                   and self.step_scan(scan_blocks)):
+                blocks += scan_blocks
+            return self.summary()
         while (max_blocks is None or blocks < max_blocks) and self.step():
             blocks += 1
         return self.summary()

@@ -48,6 +48,11 @@ class GpsLnavChain:
         self.count = 0
         self.ephemeris: Optional[Ephemeris] = None
 
+    #: bits without a verified double-preamble before declaring the
+    #: bit-sync phase wrong and rebuilding it: a correct phase locks
+    #: within ~616 bits (one partial + one full subframe + preamble)
+    RESYNC_BITS = 650
+
     def feed_array(self, i_prompts, epochs) -> list[AnchorEvent]:
         events = []
         for bit, _ in self.bit_sync.feed_array(i_prompts, epochs):
@@ -63,6 +68,18 @@ class GpsLnavChain:
             # 20.3.3.2): this subframe's first bit sits at tow - 6 s
             events.append(AnchorEvent(epoch=sf_epoch,
                                       tow_s=sf.tow_s - 6.0, payload=sf))
+        if (not self.frames.frame_locked
+                and len(self.frames.bits) > self.RESYNC_BITS):
+            # anti-stuck resync: a bit-sync boundary captured from the
+            # pull-in transient's rotating prompts is otherwise
+            # PERMANENT (BitSynchronizer.synced never re-evaluates) and
+            # every 20 ms integration straddles real bit edges, so the
+            # preamble can never verify (observed: 2 of 6 channels on
+            # the live TTFF scene, bit_synced w/ 0 subframes). Rebuild
+            # sync from the now-converged prompts; frame state restarts
+            # clean (subframe count survives on self.count).
+            self.bit_sync = BitSynchronizer()
+            self.frames = FrameDecoder()
         return events
 
     def status(self) -> dict:
@@ -163,9 +180,6 @@ class ChannelNav:
         self.code_length = code_length
         self.code_rate = code_length / code_period_s
         self.chain = make_chain(signal, prn)
-        # GPS-chain aliases (tests/diagnostics reach for these)
-        self.bit_sync = getattr(self.chain, "bit_sync", None)
-        self.frames = getattr(self.chain, "frames", None)
         self.anchor: Optional[TimeAnchor] = None
         # epoch -> (global_sample, chip_phase, carr_freq) history as a
         # numpy ring keyed by epoch % HIST_CAP (a python dict updated
@@ -206,6 +220,17 @@ class ChannelNav:
                 self._h_stamp[valid], self._h_g[valid],
                 self._h_cp[valid], self._h_cf[valid])
         }
+
+    # GPS-chain aliases (tests/diagnostics reach for these). Live
+    # properties, not init-time copies: the chain may REPLACE its
+    # sync/frame objects on an anti-stuck resync.
+    @property
+    def bit_sync(self):
+        return getattr(self.chain, "bit_sync", None)
+
+    @property
+    def frames(self):
+        return getattr(self.chain, "frames", None)
 
     @property
     def subframe_count(self) -> int:

@@ -33,7 +33,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _build_live_scene():
+def _build_live_scene(eph_reps: int = 1):
     # t_ref just past x.5 s so every satellite's t_tx0 shares the same
     # integer SV second S, one second before a 6 s subframe boundary
     sats, t_ref = build_scene()
@@ -68,13 +68,22 @@ def _build_live_scene():
     scenarios = []
     for s in sats:
         filler = rng.choice([-1, 1], (boundary - s0) * 50).astype(np.int8)
+        # ``eph_reps`` repetitions of subframes 1-3 (the TTFF bench
+        # uses 2 so a channel that needed an anti-stuck bit resync
+        # still reaches a full ephemeris within the scene)
         frames = [
             (4, m_idx + 1, rng.integers(0, 2, (8, 24)).astype(np.uint8)),
-            (1, m_idx + 2, encode_words(s["eph"], 1)),
-            (2, m_idx + 3, encode_words(s["eph"], 2)),
-            (3, m_idx + 4, encode_words(s["eph"], 3)),
-            (4, m_idx + 5, rng.integers(0, 2, (8, 24)).astype(np.uint8)),
         ]
+        nxt = m_idx + 2
+        for _ in range(eph_reps):
+            frames += [
+                (1, nxt, encode_words(s["eph"], 1)),
+                (2, nxt + 1, encode_words(s["eph"], 2)),
+                (3, nxt + 2, encode_words(s["eph"], 3)),
+            ]
+            nxt += 3
+        frames.append(
+            (4, nxt, rng.integers(0, 2, (8, 24)).astype(np.uint8)))
         nav_bits = np.concatenate([filler, encode_frames(frames)])
         doppler = -s["rr"] / CC * C.GPS_L1_FREQ_HZ
         code_off = -s["rr"] / CC * CODE_RATE
@@ -86,8 +95,8 @@ def _build_live_scene():
         ))
 
     # scene long enough to decode subframes 1-3 after the dummy: filler
-    # (1 s) + 4 subframes (24 s) + margin
-    total_s = (boundary - s0) + 24.0 + 2.0
+    # (1 s) + (1 + 3 * eph_reps + 1) subframes + margin
+    total_s = (boundary - s0) + 6.0 * (2 + 3 * eph_reps) + 2.0
     return scenarios, sats, total_s
 
 
