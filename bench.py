@@ -530,9 +530,9 @@ def _run_mixed(args, jax):
 
     fs = 8_184_000.0
     block_ms = 96          # E1B: 24 x 4 ms epochs (K=2 costas-capped);
-    k_span = 5             # 1 ms systems: 96 epochs (K=8)
+    k_span = 10            # 1 ms systems: 96 epochs (K=8)
     warm_blocks = 2 * k_span
-    meas_spans = 4         # per pass
+    meas_spans = 2         # per pass
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     correlator = "fused" if on_tpu else "slice"
     total_s = ((warm_blocks + warm_blocks % k_span)

@@ -247,7 +247,17 @@ class FrameDecoder:
             return self._try_lock()
         rel = n - self.frame_start
         if rel >= SUBFRAME_BITS and rel % SUBFRAME_BITS == 0:
-            return self._decode_subframe(n - SUBFRAME_BITS)
+            sf = self._decode_subframe(n - SUBFRAME_BITS)
+            if sf is None:
+                # parity failed at the locked alignment: a bit slip
+                # (e.g. an epoch lost to the fused path's offset walk
+                # dropping one 20 ms group) shifts EVERY later
+                # subframe, so a permanent lock decodes nothing again.
+                # Unlock and let the preamble search re-acquire the
+                # alignment from the bits already buffered.
+                self.frame_locked = False
+                self.frame_start = None
+            return sf
         return None
 
     def _bits01(self, start: int, count: int, polarity: int) -> np.ndarray:

@@ -1111,7 +1111,12 @@ def _mxu_run_k(
             w_scr[2 * e + 1] = pltpu.roll(m_im, lshift, 1).astype(
                 jnp.bfloat16)
             continue
-        th_a = phi0 + (step * jnp.float32(128.0)) * q128
+        # A-factor angles on a [1, w128] iota (NOT the [1, 128] B-
+        # factor iota: long-epoch signals — Galileo E1B's 4 ms codes —
+        # have w128 > 128 anchor groups per window)
+        q_w = jax.lax.broadcasted_iota(
+            jnp.int32, (1, w128), 1).astype(jnp.float32)
+        th_a = phi0 + (step * jnp.float32(128.0)) * q_w
         th_a = (th_a - jnp.floor(th_a)) * jnp.float32(TWO_PI)
         a_c = jnp.cos(th_a)
         a_s = jnp.sin(th_a)
@@ -1122,9 +1127,9 @@ def _mxu_run_k(
         # — B is superstep-constant); a constant 0/1 expansion matmul
         # lifts a to lane l // 128 (E[q, l] = (l//128 == q),
         # const-folded; tiny-K MXU work).
-        ra_c = jnp.dot(a_c[:, :w128], e_mat,
+        ra_c = jnp.dot(a_c, e_mat,
                        preferred_element_type=jnp.float32)
-        ra_s = jnp.dot(a_s[:, :w128], e_mat,
+        ra_s = jnp.dot(a_s, e_mat,
                        preferred_element_type=jnp.float32)
         cth = ra_c * tb_c - ra_s * tb_s
         sth = ra_s * tb_c + ra_c * tb_s

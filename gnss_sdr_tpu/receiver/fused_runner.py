@@ -133,7 +133,8 @@ class FusedTracker:
     def __init__(self, params: trk.TrackParams, cfg: TrackConfig,
                  spec: SignalSpec, fs_hz: float, codes_sampled,
                  t_epochs: int, buf_len: int, layout: str = "direct",
-                 mesh=None, wire: str = "f32"):
+                 mesh=None, wire: str = "f32",
+                 shared_fetch: bool = False):
         if cfg.lock_mode not in ("power", "costas"):
             raise ValueError(
                 f"correlator='fused': unknown lock_mode {cfg.lock_mode!r}")
@@ -245,16 +246,23 @@ class FusedTracker:
             self._step = functools.partial(self._step,
                                            k_epochs=self.k_epochs)
         if layout == "mxu":
-            # shared-fetch window feed: one HBM fetch per superstep +
-            # per-channel VMEM copies (kernel docstring). The cap
-            # bounds the per-channel DMA-start spread the shared slot
-            # covers (~1 code period + walk/drift margin; channels
-            # beyond it defer a block — unreachable in steady state,
-            # where post-walk offsets live in [el_pad, el_pad + n0)).
-            # Disabled under a mesh: the [C+1] starts vector does not
-            # channel-shard.
-            self.spread_cap = (0 if mesh is not None
-                               else ((self.n0 + 512 + 127) // 128) * 128)
+            # shared-fetch window feed (opt-in): one HBM fetch per
+            # superstep + per-channel VMEM copies (kernel docstring).
+            # The cap bounds the per-channel DMA-start spread the
+            # shared slot covers (~1 code period + walk/drift margin;
+            # channels beyond it defer a block — unreachable in steady
+            # state, where post-walk offsets live in
+            # [el_pad, el_pad + n0)). Measured at 32 ch / 2.046 MHz
+            # (tools/mxu_ablate_probe.py): pure window DMA drops
+            # 0.73 -> 0.10 ms/signal-s, but the whole kernel is
+            # unchanged — the per-channel HBM DMA is already hidden
+            # under compute by the double buffering, so this is OFF by
+            # default; it pays when HBM pressure matters (capture-rate
+            # streams, co-tenant kernels). Unavailable under a mesh:
+            # the [C+1] starts vector does not channel-shard.
+            self.spread_cap = 0
+            if shared_fetch and mesh is None:
+                self.spread_cap = ((self.n0 + 512 + 127) // 128) * 128
             self._step = functools.partial(self._step,
                                            n_rows=self.n_rows,
                                            spread_cap=self.spread_cap)
@@ -298,6 +306,11 @@ class FusedTracker:
         # offset-walk wrap: skip one code period when below the preroll
         low = active0 & (offset0 < self.el_pad)
         offset0[low] += self.n0
+        # the skipped period still advances SIGNAL time: count it in
+        # the epoch base, or every later epoch's 20 ms bit-grid phase
+        # (nav bit sync) and anchor-relative transmit time (PVT — one
+        # code period = ~300 km of pseudorange) are off by one period
+        epochs0 = epochs0 + low.astype(np.int64)
         # defer channels that cannot fit T epochs this block
         eligible = active0 & (offset0 <= self.max_offset)
 
@@ -814,6 +827,9 @@ class FusedTracker:
                 # offset-walk wrap + eligibility (run_block's rules)
                 low = jnp.logical_and(act, offset < el_pad)
                 offset_w = jnp.where(low, offset + n0, offset)
+                # count the skipped code period in the epoch base
+                # (run_block's commentary: bit-grid + pseudorange)
+                epochs = epochs + low.astype(jnp.int32)
                 eligible = jnp.logical_and(act, offset_w <= max_off)
                 # block-start anchor in the kernel's EXACT f32
                 # arithmetic (see run_block's frac0 commentary)

@@ -95,8 +95,11 @@ def _build_live_scene(eph_reps: int = 1):
         ))
 
     # scene long enough to decode subframes 1-3 after the dummy: filler
-    # (1 s) + (1 + 3 * eph_reps + 1) subframes + margin
-    total_s = (boundary - s0) + 6.0 * (2 + 3 * eph_reps) + 2.0
+    # (1 s) + (1 + 3 * eph_reps) subframes + margin. Kept TIGHT: the
+    # scene's constant-range-rate signal model diverges quadratically
+    # from the Keplerian truth the PVT solver uses, so extra tail
+    # seconds directly inflate the converged fix error.
+    total_s = (boundary - s0) + 6.0 * (1 + 3 * eph_reps) + 2.0
     return scenarios, sats, total_s
 
 

@@ -271,3 +271,39 @@ class TestMxuChannelDeath:
             np.testing.assert_array_equal(a.locked, s.locked)
             np.testing.assert_array_equal(a.start_offset,
                                           s.start_offset)
+
+
+class TestSharedFetch:
+    def test_shared_fetch_bit_identical(self):
+        """The shared-fetch window feed (one HBM fetch per superstep +
+        per-channel VMEM copies) moves the SAME bytes into the same
+        slots as the per-channel DMA, so run_blocks outputs must be
+        BIT-identical."""
+        T, B = 20, 3
+        block = T * N0
+        history = 2 * N0 + 4096
+        sre, sim = _scene(history + B * block)
+        cfg = TrackConfig(n_channels=C, correlator="fused")
+        params = trk.TrackParams.create(cfg, GPS_L1CA, FS)
+        codes_s = trk.make_sampled_code_table(GPS_L1CA, FS, 32,
+                                              window=params.window)
+        codes_rows = jnp.asarray(np.asarray(codes_s)[np.arange(C)])
+
+        def run(shared):
+            ft = fr.FusedTracker(params, cfg, GPS_L1CA, FS, codes_s, T,
+                                 history + block, layout="mxu",
+                                 shared_fetch=shared)
+            assert (ft.spread_cap > 0) == shared
+            return ft.run_blocks(_aligned_state(), sre, sim,
+                                 codes_rows, B)
+
+        st_a, tl_a = run(False)
+        st_b, tl_b = run(True)
+        for f in st_a._fields:
+            np.testing.assert_array_equal(getattr(st_a, f),
+                                          getattr(st_b, f), err_msg=f)
+        for a, b in zip(tl_a, tl_b):
+            for f in ("i_p", "q_p", "i_e", "q_l", "carr_freq",
+                      "chip_phase", "start_offset"):
+                np.testing.assert_array_equal(getattr(a, f),
+                                              getattr(b, f), err_msg=f)

@@ -83,12 +83,16 @@ def main():
     ).astype(jnp.bfloat16)
     p1, p2, d1, d2 = fused.loop_filter_consts(cfg)
 
-    def kernel_chain(n, ablate, telem_mode="full"):
+    def kernel_chain(n, ablate, telem_mode="full", spread_cap=0):
         @jax.jit
         def f(st, b0):
             def body(carry, b):
                 s = carry
                 starts = starts0 + ((b0 + b) % n_rot) * 1024
+                if spread_cap:
+                    base = jnp.maximum(jnp.max(starts) - spread_cap, 0)
+                    starts = jnp.concatenate(
+                        [starts, base[None]]).astype(jnp.int32)
                 telem, so = fused.track_block_fused_mxu(
                     bre, bim, starts, reps, s,
                     t_epochs=t_epochs, k_epochs=ft.k_epochs, n0=n0,
@@ -97,7 +101,7 @@ def main():
                     max_lost=cfg.max_lost_epochs,
                     pll_c1=p1, pll_c2=p2, dll_c1=d1, dll_c2=d2,
                     el_shift=params.el_shift, ablate=ablate,
-                    telem_mode=telem_mode)
+                    telem_mode=telem_mode, spread_cap=spread_cap)
                 so = jnp.concatenate(
                     [so[:, :1] * 0 + mat[:, :1], so[:, 1:]], axis=1)
                 return mat + 1e-20 * so, telem[0, 0, 0]
@@ -155,6 +159,10 @@ def main():
     measure("kernel/notelem", lambda n: kernel_chain(n, "notelem"))
     measure("kernel/lean", lambda n: kernel_chain(n, "",
                                                   telem_mode="lean"))
+    measure("kernel/lean-sh", lambda n: kernel_chain(
+        n, "", telem_mode="lean", spread_cap=ft.spread_cap))
+    measure("kernel/dma-sh", lambda n: kernel_chain(
+        n, "dmaonly", spread_cap=ft.spread_cap))
     measure("kernel/full", lambda n: kernel_chain(n, ""))
     measure("step(+reps)", step_chain)
 
